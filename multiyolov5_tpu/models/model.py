@@ -1,0 +1,219 @@
+"""Model assembly: init + functional forward over a compiled ModelSpec.
+
+The forward is a static Python walk over the spec rows (reference
+Model.forward_once, models/yolo.py:293-316, was a runtime interpreter); under
+``jax.jit`` the walk disappears and XLA sees one flat graph it can fuse and
+tile onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nn import Ctx, Initializer, Params, fuse_conv_bn
+from ..ops.resize import resize_bilinear, upsample_nearest
+from . import blocks as B
+from . import heads as H
+from .config import ModelSpec, load_spec
+
+
+def init_model(spec: ModelSpec, seed: int = 0) -> Tuple[Params, Params]:
+    """Build (params, state) flat dicts with torch-style initialization."""
+    ini = Initializer(seed)
+    for row in spec.rows:
+        name = f"model.{row.i}"
+        m, a = row.module, row.args
+        if m == "Conv":
+            g = a[5] if len(a) > 5 else 1
+            B.init_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1, g=g)
+        elif m == "DWConv":
+            B.init_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1,
+                        g=B.dw_groups(a[0], a[1]))
+        elif m == "Focus":
+            B.init_focus(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1)
+        elif m == "Bottleneck":
+            B.init_bottleneck(ini, name, a[0], a[1])
+        elif m == "BottleneckCSP":
+            B.init_bottleneck_csp(ini, name, a[0], a[1], n=a[2])
+        elif m == "C3":
+            B.init_c3(ini, name, a[0], a[1], n=a[2])
+        elif m == "C3TR":
+            B.init_c3tr(ini, name, a[0], a[1], n=a[2])
+        elif m == "SPP":
+            B.init_spp(ini, name, a[0], a[1], tuple(a[2]) if len(a) > 2 else (5, 9, 13))
+        elif m == "ASPP":
+            B.init_aspp(ini, name, a[0], a[1])
+        elif m == "GhostConv":
+            B.init_ghost_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1)
+        elif m == "nn.BatchNorm2d":
+            ini.bn(name, a[0])
+        elif m in ("Concat", "nn.Upsample", "Contract", "Expand"):
+            pass
+        elif m == "SegMaskPSP":
+            H.init_seg_psp(ini, name, a[0], a[2], a[4])
+        elif m == "SegMaskBase":
+            H.init_seg_base(ini, name, a[0], a[1], a[2], a[4])
+        elif m == "SegMaskBiSe":
+            H.init_seg_bise(ini, name, a[0], a[4])
+        elif m == "SegMaskLab":
+            H.init_seg_lab(ini, name, a[0], a[1], a[2], a[4])
+        elif m == "Detect":
+            H.init_detect(ini, name, a[0], a[1], a[2], spec.strides)
+        else:
+            raise NotImplementedError(f"module {m!r} (layer {row.i})")
+    params = ini.params
+    if spec.detect_index >= 0:
+        params = H.initialize_detect_biases(
+            params, f"model.{spec.detect_index}", spec.nc, spec.na, spec.strides)
+    return params, ini.state
+
+
+def _apply_row(ctx: Ctx, row, x):
+    name = f"model.{row.i}"
+    m, a = row.module, row.args
+    if m == "Conv":
+        y = x
+        for rep in range(row.n):  # n>1 repeats the module itself
+            y = B.conv(ctx, name if row.n == 1 else f"{name}.{rep}", y,
+                       k=a[2] if len(a) > 2 else 1,
+                       s=a[3] if len(a) > 3 else 1,
+                       g=a[5] if len(a) > 5 else 1)
+        return y
+    if m == "DWConv":
+        return B.conv(ctx, name, x, k=a[2] if len(a) > 2 else 1,
+                      s=a[3] if len(a) > 3 else 1, g=B.dw_groups(a[0], a[1]))
+    if m == "Focus":
+        return B.focus(ctx, name, x, k=a[2] if len(a) > 2 else 1)
+    if m == "Bottleneck":
+        return B.bottleneck(ctx, name, x, a[0], a[1],
+                            shortcut=a[2] if len(a) > 2 else True)
+    if m == "BottleneckCSP":
+        return B.bottleneck_csp(ctx, name, x, a[0], a[1], n=a[2],
+                                shortcut=a[3] if len(a) > 3 else True)
+    if m == "C3":
+        return B.c3(ctx, name, x, a[0], a[1], n=a[2],
+                    shortcut=a[3] if len(a) > 3 else True)
+    if m == "C3TR":
+        return B.c3tr(ctx, name, x, a[0], a[1], n=a[2])
+    if m == "SPP":
+        return B.spp(ctx, name, x, tuple(a[2]) if len(a) > 2 else (5, 9, 13))
+    if m == "ASPP":
+        return B.aspp(ctx, name, x)
+    if m == "GhostConv":
+        return B.ghost_conv(ctx, name, x, k=a[2] if len(a) > 2 else 1,
+                            s=a[3] if len(a) > 3 else 1, c2=a[1])
+    if m == "nn.BatchNorm2d":
+        return ctx.batch_norm(name, x)
+    if m == "Concat":
+        return jnp.concatenate(x, axis=-1)
+    if m == "nn.Upsample":
+        scale, mode = a[1], a[2]
+        if mode == "nearest":
+            return upsample_nearest(x, int(scale))
+        return resize_bilinear(x, (x.shape[1] * int(scale), x.shape[2] * int(scale)))
+    if m == "Contract":
+        return B.contract(x, a[0])
+    if m == "Expand":
+        return B.expand(x, a[0])
+    if m == "SegMaskPSP":
+        return H.seg_psp(ctx, name, x)
+    if m == "SegMaskBase":
+        return H.seg_base(ctx, name, x, n=a[1], c_hid=a[2], shortcut=a[3], ch=a[4])
+    if m == "SegMaskBiSe":
+        return H.seg_bise(ctx, name, x)
+    if m == "SegMaskLab":
+        return H.seg_lab(ctx, name, x, c_hid=a[2])
+    raise NotImplementedError(m)
+
+
+def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
+            train: bool = False, fused: bool = False,
+            rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
+            compute_dtype=None):
+    """Run the network.
+
+    Args:
+      x: NHWC image batch in [0, 1].
+    Returns:
+      ``(det, seg, new_state)`` where
+        * train: ``det`` = list of raw per-level maps (B,na,ny,nx,no),
+          ``seg`` = logits (or [main, aux16, aux32] for BiSe).
+        * eval:  ``det`` = (decoded (B,N,no), raw list), ``seg`` = logits.
+      ``new_state`` contains updated BN running stats (train mode only).
+    """
+    if decode is None:
+        decode = not train
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    ctx = Ctx(p=params, s=state, train=train, fused=fused, rng=rng)
+    cache: Dict[int, Any] = {}
+    y = x
+    det_raw = None
+    seg_out = None
+    for row in spec.rows:
+        if row.module == "Detect":
+            xs = [cache[j] if j != -1 else y for j in row.f]
+            det_raw = H.detect_raw(ctx, f"model.{row.i}", xs, spec.nc, spec.na)
+            y = det_raw
+        else:
+            if isinstance(row.f, int):
+                inp = y if row.f == -1 else cache[row.f]
+            else:
+                inp = [y if j == -1 else cache[j] for j in row.f]
+            y = _apply_row(ctx, row, inp)
+            if row.i == spec.seg_index:
+                seg_out = y
+        if row.i in spec.save:
+            cache[row.i] = y
+    det = det_raw
+    if decode and det_raw is not None:
+        decoded = H.detect_decode(ctx, f"model.{spec.detect_index}", det_raw,
+                                  spec.strides, spec.nc)
+        det = (decoded, det_raw)
+    return det, seg_out, ctx.new_state
+
+
+class Model:
+    """Convenience OO wrapper bundling spec + params + state.
+
+    Mirrors the reference ``Model`` public surface (models/yolo.py:233-370):
+    construction from a cfg (dict / yaml path / zoo name), ``__call__`` forward,
+    ``fuse()`` for BN folding.
+    """
+
+    def __init__(self, cfg="yolov5s_city_seg", ch: int = 3,
+                 nc: Optional[int] = None, anchors=None, seed: int = 0):
+        self.spec = load_spec(cfg, ch, nc, anchors)
+        self.params, self.state = init_model(self.spec, seed)
+        self.fused = False
+        self.names = list(self.spec.names)
+
+    @property
+    def stride(self):
+        return self.spec.strides
+
+    @property
+    def nc(self):
+        return self.spec.nc
+
+    def fuse(self) -> "Model":
+        if not self.fused:
+            buffers = {k: v for k, v in self.state.items()
+                       if "running_" not in k}
+            self.params = fuse_conv_bn(self.params, self.state)
+            self.state = buffers
+            self.fused = True
+        return self
+
+    def half(self) -> "Model":
+        self.params = jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+            self.params)
+        return self
+
+    def __call__(self, x, train: bool = False, rng=None, decode=None):
+        return forward(self.spec, self.params, self.state, x,
+                       train=train, fused=self.fused, rng=rng, decode=decode)

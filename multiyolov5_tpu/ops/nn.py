@@ -1,0 +1,218 @@
+"""Functional NN primitives over flat param pytrees (TPU-native, NHWC).
+
+Design notes
+------------
+* Parameters live in a *flat* ``dict[str, jnp.ndarray]`` whose keys mirror the
+  reference PyTorch ``state_dict`` names (e.g. ``model.4.cv1.conv.weight``).
+  This makes the ``.pt`` checkpoint bridge a pure layout transform and keeps
+  optimizer param-group selection (weights / BN gains / biases, reference
+  train.py:121-137) a key-pattern match.
+* Conv weights are stored HWIO (TPU-native); the bridge transposes from torch
+  OIHW.  Activations are NHWC throughout.
+* BatchNorm running statistics live in a separate flat ``state`` dict (same
+  key prefixes).  Training-mode BN computes moments over the *global* batch:
+  under pjit data-parallel sharding XLA lowers the mean over the sharded batch
+  axis to a cross-chip psum, so SyncBN (reference train.py:191-193) is the
+  default semantics here rather than an opt-in wrapper.
+* A :class:`Ctx` object carries (params, state, train-flag, rng); block
+  functions read like the reference modules but are pure.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+BN_EPS = 1e-3      # reference utils/torch_utils.py initialize_weights
+BN_MOMENTUM = 0.03
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same' padding for odd kernels (reference models/common.py:22-27)."""
+    if p is not None:
+        return p
+    return d * (k - 1) // 2
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """reference utils/general.py make_divisible (ceil to multiple)."""
+    return int(math.ceil(x / divisor) * divisor)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (matches torch defaults so scratch training is comparable)
+# ---------------------------------------------------------------------------
+
+
+class Initializer:
+    """Builds a flat param/state dict with torch-default initialization."""
+
+    def __init__(self, seed: int = 0):
+        self.params: Params = {}
+        self.state: Params = {}
+        self._rng = np.random.RandomState(seed)
+
+    def conv(self, name: str, c_in: int, c_out: int, k: int, groups: int = 1,
+             bias: bool = False) -> None:
+        """torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5))."""
+        fan_in = (c_in // groups) * k * k
+        gain = math.sqrt(2.0 / (1 + 5.0))  # leaky_relu gain with a=sqrt(5)
+        bound = gain * math.sqrt(3.0 / fan_in)
+        w = self._rng.uniform(-bound, bound, size=(k, k, c_in // groups, c_out))
+        self.params[name + ".weight"] = jnp.asarray(w, jnp.float32)
+        if bias:
+            b_bound = 1.0 / math.sqrt(fan_in)
+            b = self._rng.uniform(-b_bound, b_bound, size=(c_out,))
+            self.params[name + ".bias"] = jnp.asarray(b, jnp.float32)
+
+    def bn(self, name: str, c: int) -> None:
+        self.params[name + ".weight"] = jnp.ones((c,), jnp.float32)
+        self.params[name + ".bias"] = jnp.zeros((c,), jnp.float32)
+        self.state[name + ".running_mean"] = jnp.zeros((c,), jnp.float32)
+        self.state[name + ".running_var"] = jnp.ones((c,), jnp.float32)
+
+    def buffer(self, name: str, value) -> None:
+        self.state[name] = jnp.asarray(value, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Apply-time context
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Ctx:
+    """Carries params/state through a functional forward pass."""
+
+    p: Params
+    s: Params
+    train: bool = False
+    fused: bool = False              # params were BN-folded (inference fast path)
+    rng: Optional[jax.Array] = None  # dropout rng (train only)
+    new_state: Params = field(default_factory=dict)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def next_rng(self) -> Optional[jax.Array]:
+        if self.rng is None:
+            return None
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+    # -- primitives ---------------------------------------------------------
+
+    def conv2d(self, name: str, x: jnp.ndarray, k: int, s: int = 1,
+               p: Optional[int] = None, g: int = 1, d: int = 1) -> jnp.ndarray:
+        w = self.p[name + ".weight"].astype(x.dtype)
+        pad = autopad(k, p, d)
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(s, s),
+            padding=((pad, pad), (pad, pad)),
+            rhs_dilation=(d, d),
+            feature_group_count=g,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+        b = self.p.get(name + ".bias")
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y
+
+    def batch_norm(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.p[name + ".weight"]
+        beta = self.p[name + ".bias"]
+        if self.train:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            # torch updates running_var with the *unbiased* batch variance.
+            unbiased = var * (n / max(n - 1, 1))
+            self.new_state[name + ".running_mean"] = (
+                (1 - BN_MOMENTUM) * self.s[name + ".running_mean"] + BN_MOMENTUM * mean)
+            self.new_state[name + ".running_var"] = (
+                (1 - BN_MOMENTUM) * self.s[name + ".running_var"] + BN_MOMENTUM * unbiased)
+        else:
+            mean = self.s[name + ".running_mean"]
+            var = self.s[name + ".running_var"]
+        scale = (gamma * jax.lax.rsqrt(var + BN_EPS)).astype(x.dtype)
+        shift = (beta - mean * gamma * jax.lax.rsqrt(var + BN_EPS)).astype(x.dtype)
+        return x * scale + shift
+
+    def conv_bn_act(self, name: str, x: jnp.ndarray, k: int = 1, s: int = 1,
+                    p: Optional[int] = None, g: int = 1, d: int = 1,
+                    act: bool = True) -> jnp.ndarray:
+        """reference models/common.py Conv: conv(bias=False) + BN + SiLU.
+
+        When ``self.fused`` the BN has been folded into ``<name>.conv`` as a
+        bias (reference utils/torch_utils.py:182-202 fuse_conv_and_bn) and the
+        BN apply is skipped entirely (reference Conv.fuseforward).
+        """
+        y = self.conv2d(name + ".conv", x, k, s, p, g, d)
+        if not self.fused:
+            y = self.batch_norm(name + ".bn", y)
+        return jax.nn.silu(y) if act else y
+
+    def conv2d_bn_act(self, cname: str, bname: str, x: jnp.ndarray, k: int,
+                      d: int = 1, act: bool = True) -> jnp.ndarray:
+        """Bare nn.Conv2d + nn.BatchNorm2d + SiLU triple used inside
+        RFB/ASPP Sequentials (reference models/common.py:242-255 etc.)."""
+        y = self.conv2d(cname, x, k, s=1, d=d)
+        if not self.fused:
+            y = self.batch_norm(bname, y)
+        return jax.nn.silu(y) if act else y
+
+    def dropout(self, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+        if not self.train or rate <= 0.0:
+            return x
+        rng = self.next_rng()
+        if rng is None:
+            return x
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def fuse_conv_bn(params: Params, state: Params) -> Params:
+    """Fold every ``<p>.bn`` into ``<p>.conv`` producing inference params.
+
+    Same math as reference utils/torch_utils.py:182-202 (fuse_conv_and_bn):
+      w' = w * gamma / sqrt(var + eps);  b' = beta - gamma * mean / sqrt(var+eps)
+    Standalone BNs (keys ``<p>.running_mean`` whose param keys end with
+    ``.weight`` but have no sibling conv) are left for the caller; in this
+    architecture every BN follows a conv so all fold.
+    """
+    fused: Params = dict(params)
+    bn_prefixes = sorted({k[: -len(".running_mean")] for k in state if k.endswith(".running_mean")})
+    for bn in bn_prefixes:
+        gamma = params[bn + ".weight"]
+        beta = params[bn + ".bias"]
+        mean = state[bn + ".running_mean"]
+        var = state[bn + ".running_var"]
+        scale = gamma / jnp.sqrt(var + BN_EPS)
+        # The conv owning this BN: reference Conv uses '<x>.conv'/'<x>.bn';
+        # bare Sequentials use numeric siblings ('m.1.0' conv / 'm.1.1' bn).
+        if bn.endswith(".bn"):
+            conv = bn[: -len(".bn")] + ".conv"
+        else:
+            head, _, idx = bn.rpartition(".")
+            conv = f"{head}.{int(idx) - 1}"
+        wkey = conv + ".weight"
+        if wkey not in fused:  # pragma: no cover - defensive
+            raise KeyError(f"no conv found for BN prefix {bn!r}")
+        w = fused[wkey]
+        fused[wkey] = w * scale.reshape(1, 1, 1, -1)
+        prev_b = fused.pop(conv + ".bias", None)
+        b = beta - mean * scale
+        if prev_b is not None:
+            b = b + prev_b * scale
+        fused[conv + ".bias"] = b
+        del fused[bn + ".weight"], fused[bn + ".bias"]
+    return fused

@@ -1,0 +1,167 @@
+"""Resize / pooling primitives with exact PyTorch semantics, TPU-first.
+
+Instead of gather-based interpolation, every resize here is expressed as a pair
+of small dense matmuls (one per spatial axis).  On TPU the (H_out, H_in) weight
+matrices ride the MXU and XLA fuses the surrounding elementwise work, which is
+both faster and numerically exact.
+
+Reference semantics reproduced (see reference multiyolov5):
+  * ``F.interpolate(mode='bilinear', align_corners=True)`` — used by every
+    segmentation head (reference models/yolo.py:57,111,118,143,163 etc.) and by
+    the final mask upsample in detect.py:191.
+  * ``F.interpolate(mode='nearest')`` — PAN upsamples (yolov5s_city_seg.yaml
+    rows 11/15) and ASPP/RFB global branches (models/common.py:273).
+  * ``nn.AdaptiveAvgPool2d(k)`` — PyramidPooling (models/common.py:521-524),
+    SE attention global pools.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Interpolation matmuls must be exact: run them at full fp32 MXU precision.
+_EXACT = jax.lax.Precision.HIGHEST
+
+__all__ = [
+    "bilinear_matrix",
+    "resize_bilinear",
+    "upsample_nearest",
+    "adaptive_avg_pool",
+    "global_avg_pool",
+    "max_pool_same",
+    "avg_pool",
+]
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_matrix_np(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
+    """(n_out, n_in) row-stochastic interpolation matrix."""
+    w = np.zeros((n_out, n_in), dtype=np.float32)
+    if n_in == 1:
+        w[:, 0] = 1.0
+        return w
+    if align_corners:
+        if n_out == 1:
+            src = np.zeros((1,), dtype=np.float64)
+        else:
+            src = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    else:
+        scale = n_in / n_out
+        src = np.maximum((np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5, 0.0)
+        src = np.minimum(src, n_in - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.minimum(i0, n_in - 2)
+    frac = src - i0
+    rows = np.arange(n_out)
+    w[rows, i0] = (1.0 - frac).astype(np.float32)
+    w[rows, i0 + 1] += frac.astype(np.float32)
+    return w
+
+
+def bilinear_matrix(n_in: int, n_out: int, align_corners: bool = True) -> jnp.ndarray:
+    return jnp.asarray(_bilinear_matrix_np(n_in, n_out, align_corners))
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.ndarray:
+    """Bilinear resize of NHWC ``x`` to (H_out, W_out), exact torch semantics."""
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    b, h, w, c = x.shape
+    dt = x.dtype
+    if h == h_out and w == w_out:
+        return x
+    xf = x.astype(jnp.float32)
+    if h != h_out:
+        mh = bilinear_matrix(h, h_out, align_corners)
+        xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=_EXACT)
+    if w != w_out:
+        mw = bilinear_matrix(w, w_out, align_corners)
+        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=_EXACT)
+    return xf.astype(dt)
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Nearest 2x/4x... upsample (torch ``nn.Upsample(mode='nearest')``)."""
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    return x
+
+
+def resize_nearest(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Nearest resize to arbitrary size (torch F.interpolate nearest).
+
+    torch maps dst index i -> src index floor(i * n_in / n_out).
+    """
+    h_out, w_out = int(out_hw[0]), int(out_hw[1])
+    b, h, w, c = x.shape
+    if h == h_out and w == w_out:
+        return x
+    hi = np.floor(np.arange(h_out) * (h / h_out)).astype(np.int32)
+    wi = np.floor(np.arange(w_out) * (w / w_out)).astype(np.int32)
+    return x[:, hi][:, :, wi]
+
+
+@functools.lru_cache(maxsize=None)
+def _adaptive_pool_matrix_np(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) averaging matrix with torch AdaptiveAvgPool bin edges."""
+    w = np.zeros((n_out, n_in), dtype=np.float32)
+    for i in range(n_out):
+        lo = (i * n_in) // n_out
+        hi = -(-((i + 1) * n_in) // n_out)  # ceil
+        w[i, lo:hi] = 1.0 / (hi - lo)
+    return w
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """``nn.AdaptiveAvgPool2d`` on NHWC input."""
+    if isinstance(out_hw, int):
+        out_hw = (out_hw, out_hw)
+    h_out, w_out = out_hw
+    b, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if h_out == 1 and w_out == 1:
+        return jnp.mean(xf, axis=(1, 2), keepdims=True).astype(dt)
+    mh = jnp.asarray(_adaptive_pool_matrix_np(h, h_out))
+    mw = jnp.asarray(_adaptive_pool_matrix_np(w, w_out))
+    xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=_EXACT)
+    xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=_EXACT)
+    return xf.astype(dt)
+
+
+def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
+    return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+
+
+def max_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Stride-1 same-padding max pool (SPP, reference models/common.py:170)."""
+    import jax.lax as lax
+
+    pad = k // 2
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    return lax.reduce_window(
+        x,
+        neg,
+        lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+def avg_pool(x: jnp.ndarray, k: int, s: int, pad: int) -> jnp.ndarray:
+    """torch ``nn.AvgPool2d(k, s, pad)`` with count_include_pad=True (DAPPM)."""
+    import jax.lax as lax
+
+    summed = lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        lax.add,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    return (summed / float(k * k)).astype(x.dtype)
