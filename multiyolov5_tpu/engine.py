@@ -1,0 +1,191 @@
+"""Fused TPU inference engine.
+
+One jit-compiled graph per (input-geometry, output-geometry) pair covering:
+    uint8 -> normalize -> backbone/neck/heads (bf16, BN-folded) -> detect
+    decode -> device NMS -> letterbox coordinate unmap -> seg logits
+    upsample (align_corners, fp32-exact) -> argmax class map
+
+The reference pipeline (detect.py:134-233) crosses the host boundary three
+times per frame (model out, NMS in torchvision, interpolate+argmax on CPU);
+here a frame costs one H2D (letterboxed uint8) and two tiny D2H (boxes,
+class-map bytes).  Static shapes make each geometry compile once — the XLA
+analog of cudnn.benchmark's same-size rule (reference detect.py:115-124).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.config import ModelSpec, load_spec
+from .models import heads as H
+from .models.model import forward, init_model
+from .ops.nms import nms_batched
+from .ops.resize import resize_bilinear
+from .ops.nn import fuse_conv_bn
+from .utils import checkpoint as ckpt_lib
+
+
+def scale_img_pad(x: jnp.ndarray, ratio: float, gs: int = 32) -> jnp.ndarray:
+    """TTA helper (reference utils/torch_utils.py:248-258): bilinear
+    (align_corners=False, like F.interpolate default) scale + 0.447 pad."""
+    if ratio == 1.0:
+        return x
+    b, h, w, c = x.shape
+    nh, nw = int(h * ratio), int(w * ratio)
+    x = resize_bilinear(x, (nh, nw), align_corners=False)
+    ph, pw = int(np.ceil(nh / gs) * gs) - nh, int(np.ceil(nw / gs) * gs) - nw
+    return jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                   constant_values=0.447)
+
+
+class Engine:
+    """Loads weights, folds BN, and serves fused jitted inference."""
+
+    def __init__(self, weights: Any = None, cfg: Any = None,
+                 half: bool = True, spec: Optional[ModelSpec] = None,
+                 params=None, state=None):
+        if spec is not None:
+            self.spec, self.params, self.state = spec, params, state
+        else:
+            self.spec, self.params, self.state = self._load(weights, cfg)
+        # fold BN (reference attempt_load: .float().fuse().eval())
+        self.params = fuse_conv_bn(self.params, self.state)
+        self.state = {k: v for k, v in self.state.items() if "running_" not in k}
+        self.fused = True
+        if half:  # bf16 weights: fp32 master copies are pointless at inference
+            self.params = jax.tree.map(
+                lambda t: t.astype(jnp.bfloat16)
+                if t.dtype == jnp.float32 else t, self.params)
+        self.compute_dtype = jnp.bfloat16 if half else jnp.float32
+        self._cache: Dict[Any, Any] = {}
+
+    # -- weight loading -----------------------------------------------------
+
+    @staticmethod
+    def _load(weights, cfg) -> Tuple[ModelSpec, dict, dict]:
+        import os
+        if isinstance(weights, str) and not weights:
+            weights = None
+        if isinstance(weights, str) and not os.path.exists(weights):
+            if cfg is None:
+                raise FileNotFoundError(f"weights not found: {weights} (and no --cfg given)")
+            print(f"WARNING: weights {weights!r} not found — "
+                  f"random init from cfg {cfg!r}")
+            weights = None
+        if isinstance(weights, str) and weights.endswith(".pt"):
+            params, state, meta = ckpt_lib.load_pt(weights)
+            spec = load_spec(meta.get("yaml") or cfg)
+            return spec, params, state
+        if isinstance(weights, str):  # native npz
+            tree = ckpt_lib.load_npz(weights)
+            params = tree.get("ema_params") or tree["params"]
+            state = tree["state"]
+            spec_yaml = tree.get("spec_yaml")
+            spec = load_spec(json.loads(spec_yaml) if isinstance(spec_yaml, str)
+                             else (spec_yaml or cfg))
+            return spec, params, state
+        # fresh init from cfg (random weights; for tests/smoke)
+        spec = load_spec(cfg or "yolov5s_city_seg")
+        params, state = init_model(spec)
+        return spec, params, state
+
+    @property
+    def stride(self) -> int:
+        return max(self.spec.strides)
+
+    @property
+    def names(self):
+        return self.spec.names
+
+    # -- fused pipeline -----------------------------------------------------
+
+    def _compiled(self, in_hw, orig_hw, conf, iou, classes, agnostic,
+                  multi_label, max_det, augment):
+        key = (in_hw, orig_hw, conf, iou, classes, agnostic, multi_label,
+               max_det, augment)
+        if key in self._cache:
+            return self._cache[key]
+
+        spec = self.spec
+        gain = min(in_hw[0] / orig_hw[0], in_hw[1] / orig_hw[1])
+        pad = ((in_hw[1] - orig_hw[1] * gain) / 2,
+               (in_hw[0] - orig_hw[0] * gain) / 2)
+        cmask = None
+        if classes is not None:
+            cm = np.zeros((spec.nc,), np.float32)
+            cm[list(classes)] = 1.0
+            cmask = jnp.asarray(cm)
+        cdt = self.compute_dtype
+
+        def run(params, state, img_u8):
+            x = img_u8.astype(cdt) / 255.0
+            if augment:  # TTA (reference models/yolo.py:273-291)
+                zs = []
+                for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
+                    xi = jnp.flip(x, 2) if fi == 3 else x
+                    xi = scale_img_pad(xi, si, gs=max(spec.strides))
+                    det, _, _ = forward(spec, params, state, xi, train=False,
+                                        fused=True, decode=True)
+                    zi = det[0]
+                    zi = zi.at[..., :4].divide(si)
+                    if fi == 3:
+                        zi = zi.at[..., 0].set(x.shape[2] - zi[..., 0])
+                    zs.append(zi)
+                z = jnp.concatenate(zs, 1)
+                _, seg, _ = forward(spec, params, state, x, train=False,
+                                    fused=True, decode=False)
+            else:
+                det, seg, _ = forward(spec, params, state, x, train=False,
+                                      fused=True, decode=True)
+                z = det[0]
+            boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,
+                                       agnostic=agnostic, class_mask=cmask,
+                                       multi_label=multi_label, max_det=max_det)
+            # letterbox unmap + clip + round (reference detect.py:169)
+            xy = boxes[..., :4]
+            xy = (xy - jnp.asarray([pad[0], pad[1], pad[0], pad[1]])) / gain
+            xy = jnp.clip(xy, 0.0, jnp.asarray(
+                [orig_hw[1], orig_hw[0], orig_hw[1], orig_hw[0]], jnp.float32))
+            boxes = jnp.concatenate([jnp.round(xy), boxes[..., 4:]], -1)
+            cls_map = None
+            if seg is not None:
+                segf = seg.astype(jnp.float32)
+                segf = resize_bilinear(segf, orig_hw, align_corners=True)
+                cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)
+            return boxes, valid, cls_map
+
+        fn = jax.jit(run)
+        self._cache[key] = fn
+        return fn
+
+    def __call__(self, img: np.ndarray, orig_hw: Tuple[int, int],
+                 conf: float = 0.25, iou: float = 0.45,
+                 classes: Optional[Sequence[int]] = None,
+                 agnostic: bool = False, multi_label: bool = False,
+                 max_det: int = 300, augment: bool = False):
+        """img: (H, W, 3) or (B, H, W, 3) RGB uint8 (letterboxed).
+
+        Returns (list of (n,6) float arrays in original-frame xyxy coords,
+        list of (H0, W0) uint8 class maps or None).
+        """
+        if img.ndim == 3:
+            img = img[None]
+        fn = self._compiled(tuple(img.shape[1:3]), tuple(orig_hw), conf, iou,
+                            tuple(classes) if classes is not None else None,
+                            agnostic, multi_label, max_det, augment)
+        boxes, valid, cls_map = fn(self.params, self.state, jnp.asarray(img))
+        boxes = np.asarray(boxes)
+        valid = np.asarray(valid)
+        dets = [boxes[i][valid[i]] for i in range(boxes.shape[0])]
+        masks = (list(np.asarray(cls_map)) if cls_map is not None
+                 else [None] * len(dets))
+        return dets, masks
+
+    def warmup(self, in_hw, orig_hw, **kw):
+        self(np.zeros((1, *in_hw, 3), np.uint8), orig_hw, **kw)

@@ -78,6 +78,10 @@ def load_pt(path: str, prefer_ema: bool = True) -> Tuple[Params, Params, Dict[st
                 if k in ckpt}
         obj = ckpt.get("ema") if (prefer_ema and ckpt.get("ema") is not None) else ckpt["model"]
         sd = obj.float().state_dict() if hasattr(obj, "state_dict") else obj
+        for src in (obj, ckpt.get("model")):
+            if hasattr(src, "yaml"):  # reference Model stores its config dict
+                meta["yaml"] = src.yaml
+                break
     elif hasattr(ckpt, "state_dict"):
         sd = ckpt.float().state_dict()
     else:
