@@ -1,0 +1,58 @@
+"""Headline benchmark: pspv5s end-to-end frames/sec at 1024x512 on one chip.
+
+Measures the full deployed pipeline per frame — H2D of the letterboxed uint8
+frame, bf16 fused forward, detect decode, device NMS, seg upsample+argmax at
+the 2048x1024 Cityscapes frame size, and D2H of boxes + class map — i.e. the
+same span reference detect.py times per image (detect.py:134-193).
+
+Baseline anchor: the reference reports 140+ FPS fp16 for its *fastest* (base)
+head on the author's GPU (reference models/yolo.py:127); the PSP head is
+slower.  We report vs_baseline = fps / 140 against that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from multiyolov5_tpu.engine import Engine
+
+    warm = int(os.environ.get("BENCH_WARMUP", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 50))
+    weights = os.environ.get("BENCH_WEIGHTS", "")
+
+    eng = Engine(weights or None, cfg="yolov5s_city_seg", half=True)
+    in_hw = (512, 1024)           # 1024x512 input (reference README.md:13)
+    orig_hw = (1024, 2048)        # native Cityscapes frame
+    frame = np.random.randint(0, 255, (1, *in_hw, 3), np.uint8)
+
+    def once():
+        dets, masks = eng(frame, orig_hw, conf=0.25, iou=0.45)
+        return dets, masks
+
+    for _ in range(warm):
+        once()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        once()
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "pspv5s_e2e_fps_1024x512",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 140.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,7 +141,8 @@ def max_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
     import jax.lax as lax
 
     pad = k // 2
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init is required for reduce_window-max to have a defined VJP
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

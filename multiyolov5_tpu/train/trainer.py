@@ -1,0 +1,168 @@
+"""Jitted dual-task train step + training state.
+
+Reproduces the reference's signature schedule (reference train.py:335-401):
+every iteration runs a detection forward/backward AND a segmentation
+forward/backward; gradients accumulate across ``accumulate`` iterations and a
+single optimizer step fires, followed by an EMA update.  Here both
+forward/backwards, the accumulation, the conditional optimizer step, and the
+EMA all live inside ONE jitted function, so the whole iteration is a single
+XLA program — no Python between microbatches.
+
+Data parallelism: jit the step with batch args sharded over the mesh 'data'
+axis and state replicated.  The global-batch loss means make XLA insert the
+gradient psum (DDP all-reduce equivalent); BN moments over the global batch
+give SyncBN semantics (reference --sync-bn) without a wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelSpec
+from ..models.model import forward, init_model
+from . import optim
+from .losses import DetectionLoss, ohem_ce_loss, seg_focal_loss, segmentation_loss
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclass
+class TrainConfig:
+    hyp: Dict[str, float]
+    epochs: int = 300
+    batch_size: int = 16
+    seg_batch_size: int = 16
+    nbs: int = 64                      # nominal batch size
+    detgain: float = 0.6               # reference train.py:290
+    seggain: float = 0.35
+    seg_loss: str = "ce"               # ce | ohem | focal
+    seg_aux: bool = False              # BiSe head -> True (aux_num=2)
+    seg_aux_weight: float = 0.1
+    adam: bool = False
+    max_targets: int = 128             # padded targets per image
+    compute_dtype: Any = jnp.bfloat16  # bf16 on TPU (no GradScaler needed)
+    remat: bool = False                # jax.checkpoint the backbone
+    class_weight: Optional[np.ndarray] = None
+
+
+def create_train_state(spec: ModelSpec, cfg: TrainConfig, seed: int = 0,
+                       params: Optional[Params] = None,
+                       state: Optional[Params] = None) -> Dict[str, Any]:
+    if params is None:
+        params, state = init_model(spec, seed)
+    groups = optim.classify_params(params, state)
+    ts = {
+        "params": params,
+        "state": state,
+        "opt": (optim.init_adam_state(params) if cfg.adam
+                else optim.init_sgd_state(params)),
+        "accum": {k: jnp.zeros_like(v) for k, v in params.items()},
+        "ema_params": dict(params),
+        "ema_state": dict(state),
+        "updates": jnp.zeros((), jnp.int32),
+    }
+    return ts, groups
+
+
+def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
+                    mesh=None, donate: bool = True):
+    """Returns step(ts, det_imgs, det_tgts, det_mask, seg_imgs, seg_lbls,
+    rng, lr, lr_bias, momentum, do_update) -> (ts, metrics)."""
+    det_loss_fn = DetectionLoss(
+        nc=spec.nc, na=spec.na,
+        anchors=np.asarray(spec.anchors, np.float32).reshape(spec.nl, spec.na, 2)
+        / np.asarray(spec.strides, np.float32)[:, None, None],
+        strides=spec.strides, hyp=cfg.hyp)
+    wd = cfg.hyp.get("weight_decay", 0.0)
+    accumulate_target = max(round(cfg.nbs / cfg.batch_size), 1)
+    # reference train.py:117 scales weight decay by total_bs*accumulate/nbs
+    wd = wd * cfg.batch_size * accumulate_target / cfg.nbs
+    cw = jnp.asarray(cfg.class_weight) if cfg.class_weight is not None else None
+
+    fwd = forward
+    if cfg.remat:
+        fwd = jax.checkpoint(forward, static_argnums=(0,),
+                             static_argnames=("train", "fused", "decode"))
+
+    def seg_loss_fn(seg_out, seg_lbls):
+        if cfg.seg_loss == "ohem":
+            return ohem_ce_loss(seg_out, seg_lbls, aux=cfg.seg_aux,
+                                aux_weight=(cfg.seg_aux_weight * 1.5,
+                                            cfg.seg_aux_weight / 2.0))
+        if cfg.seg_loss == "focal":
+            p = seg_out[0] if isinstance(seg_out, (list, tuple)) else seg_out
+            return seg_focal_loss(p, seg_lbls)
+        return segmentation_loss(seg_out, seg_lbls, aux=cfg.seg_aux, aux_num=2,
+                                 aux_weight=cfg.seg_aux_weight, weight=cw)
+
+    def losses(params, state, det_imgs, det_tgts, det_mask, seg_imgs,
+               seg_lbls, rng):
+        x = det_imgs.astype(cfg.compute_dtype) / 255.0
+        det_raw, _, new_state = fwd(spec, params, state, x, train=True,
+                                    rng=rng, decode=False)
+        dloss, ditems = det_loss_fn(det_raw, det_tgts, det_mask)
+        dloss = dloss * cfg.detgain
+        # second forward: BN stats already advanced by det microbatch
+        state2 = {**state, **new_state}
+        xs = seg_imgs.astype(cfg.compute_dtype)  # already /255'd by loader
+        _, seg_out, new_state2 = fwd(spec, params, state2, xs, train=True,
+                                     rng=rng, decode=False)
+        sloss = seg_loss_fn(seg_out, seg_lbls) * seg_imgs.shape[0] * cfg.seggain
+        total = dloss + sloss
+        return total, ({**state2, **new_state2}, ditems,
+                       jax.lax.stop_gradient(sloss))
+
+    def step(ts, det_imgs, det_tgts, det_mask, seg_imgs, seg_lbls, rng,
+             lr, lr_bias, momentum, do_update):
+        (total, (new_state, ditems, sloss)), grads = jax.value_and_grad(
+            losses, has_aux=True)(ts["params"], ts["state"], det_imgs,
+                                  det_tgts, det_mask, seg_imgs, seg_lbls, rng)
+        accum = {k: ts["accum"][k] + grads[k] for k in grads}
+
+        def do_step(_):
+            if cfg.adam:
+                new_p, new_opt = optim.adam_update(
+                    ts["params"], accum, ts["opt"], groups, lr, lr_bias,
+                    momentum, wd)
+            else:
+                new_p, new_opt = optim.sgd_update(
+                    ts["params"], accum, ts["opt"], groups, lr, lr_bias,
+                    momentum, wd)
+            updates = ts["updates"] + 1
+            d = optim.ema_decay(updates)
+            ema_p = optim.ema_update(ts["ema_params"], new_p, d)
+            ema_s = optim.ema_update(ts["ema_state"], new_state, d)
+            zero = {k: jnp.zeros_like(v) for k, v in accum.items()}
+            return new_p, new_opt, ema_p, ema_s, updates, zero
+
+        def no_step(_):
+            return (ts["params"], ts["opt"], ts["ema_params"], ts["ema_state"],
+                    ts["updates"], accum)
+
+        new_p, new_opt, ema_p, ema_s, updates, accum_out = jax.lax.cond(
+            do_update, do_step, no_step, None)
+        new_ts = {"params": new_p, "state": {**ts["state"], **new_state},
+                  "opt": new_opt, "accum": accum_out, "ema_params": ema_p,
+                  "ema_state": ema_s, "updates": updates}
+        metrics = {"det_items": ditems, "seg_loss": sloss, "total": total}
+        return new_ts, metrics
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        step = jax.jit(
+            step,
+            in_shardings=(repl, data, data, data, data, data, repl, repl,
+                          repl, repl, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,) if donate else ())
+    else:
+        step = jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
