@@ -155,8 +155,9 @@ class Engine:
             boxes = jnp.concatenate([jnp.round(xy), boxes[..., 4:]], -1)
             cls_map = None
             if seg is not None:
-                segf = seg.astype(jnp.float32)
-                segf = resize_bilinear(segf, orig_hw, align_corners=True)
+                # bf16 logits resize on the fast MXU path (resize_bilinear
+                # keeps fp32 exactness automatically when logits are fp32)
+                segf = resize_bilinear(seg, orig_hw, align_corners=True)
                 cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)
             return boxes, valid, cls_map
 

@@ -263,12 +263,38 @@ def init_focus(ini: Initializer, name: str, c1: int, c2: int, k: int = 1,
 
 def focus(ctx: Ctx, name: str, x, k: int = 1, s: int = 1,
           p: Optional[int] = None, g: int = 1, act: bool = True):
-    # Channel order must match torch cat([ee, oe, eo, oo], dim=1)
-    # where the first index is H (rows) and second W (cols).
-    y = jnp.concatenate([
-        x[:, ::2, ::2, :], x[:, 1::2, ::2, :],
-        x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], -1)
-    return conv(ctx, name + ".conv", y, k, s, p, g, act=act)
+    """Focus stem as a single stride-2 conv (TPU-critical).
+
+    The reference materializes the 2x2 space-to-depth slice-concat
+    (models/common.py:549-550); on TPU those four strided slices of the
+    3-channel image dominate the whole forward (terrible (8,128)-tile
+    layout), so we fold them into the conv: a kxk conv on the
+    phase-stacked input equals a 2k x 2k stride-2 conv on the raw image
+    whose kernel is the stored weight scattered by phase:
+        W[2dy+pi, 2dx+pj, c, o] = w[dy, dx, 3*p + c, o]
+    with phase order [ee, oe, eo, oo] matching the torch cat (H-offset
+    first).  Exact same math, same stored weights (checkpoint-compatible),
+    differentiable through the scatter for training.
+    """
+    w = ctx.p[name + ".conv.conv.weight"]          # (k, k, 4*c, cout)
+    kk, _, c4, cout = w.shape
+    c = c4 // 4
+    w4 = w.reshape(kk, kk, 4, c, cout)
+    big = jnp.zeros((2 * kk, 2 * kk, c, cout), w.dtype)
+    for pp, (pi, pj) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        big = big.at[pi::2, pj::2].set(w4[:, :, pp])
+    pad = 2 * (kk // 2)
+    y = jax.lax.conv_general_dilated(
+        x, big.astype(x.dtype), window_strides=(2, 2),
+        padding=((pad, pad), (pad, pad)), feature_group_count=g,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype)
+    b = ctx.p.get(name + ".conv.conv.bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    if not ctx.fused:
+        y = ctx.batch_norm(name + ".conv.bn", y)
+    return jax.nn.silu(y) if act else y
 
 
 def contract(x, gain: int = 2):

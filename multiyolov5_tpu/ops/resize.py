@@ -67,19 +67,30 @@ def bilinear_matrix(n_in: int, n_out: int, align_corners: bool = True) -> jnp.nd
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.ndarray:
-    """Bilinear resize of NHWC ``x`` to (H_out, W_out), exact torch semantics."""
+    """Bilinear resize of NHWC ``x`` to (H_out, W_out), exact torch semantics.
+
+    fp32 inputs use full-precision MXU passes (bit-exact vs torch — the parity
+    and eval paths).  bf16 inputs ride the fast bf16 MXU with fp32
+    accumulation — interpolation weights round to bf16 (<0.4% error), which is
+    noise relative to bf16 activations themselves.
+    """
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
     b, h, w, c = x.shape
     dt = x.dtype
     if h == h_out and w == w_out:
         return x
-    xf = x.astype(jnp.float32)
+    fast = dt == jnp.bfloat16
+    xf = x if fast else x.astype(jnp.float32)
+    prec = None if fast else _EXACT
     if h != h_out:
-        mh = bilinear_matrix(h, h_out, align_corners)
-        xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=_EXACT)
+        mh = bilinear_matrix(h, h_out, align_corners).astype(xf.dtype)
+        xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=prec,
+                        preferred_element_type=jnp.float32)
+        xf = xf.astype(dt) if fast else xf
     if w != w_out:
-        mw = bilinear_matrix(w, w_out, align_corners)
-        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=_EXACT)
+        mw = bilinear_matrix(w, w_out, align_corners).astype(xf.dtype)
+        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=prec,
+                        preferred_element_type=jnp.float32)
     return xf.astype(dt)
 
 
