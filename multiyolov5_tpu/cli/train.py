@@ -1,0 +1,325 @@
+"""Joint detection+segmentation trainer — reference train.py re-designed
+around one jitted dual-task step.
+
+Reference semantics kept: interleaved det/seg batches sharing one optimizer
+step through warmup-ramped gradient accumulation (train.py:335-401), SGD
+nesterov with 3 param groups + one-cycle cosine + per-group warmup, EMA,
+fitness2 (0.1 mAP50 + 0.2 mAP + 0.7 mIoU) model selection, seg eval every
+--seg-eval-interval epochs (train.py:435-437), last/best checkpoints,
+results.txt, autoanchor gate.
+
+TPU-native differences: the two forward/backwards + accumulation + optimizer
++ EMA run inside a single XLA program per iteration; data parallelism is mesh
+sharding of the batch (gradient psum + global-batch SyncBN implicit); bf16
+compute with fp32 params (no GradScaler).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..data.detection import DetectionDataset, DetectionLoader
+from ..data.hyps import load_hyp
+from ..data.segmentation import (get_citys_loader, get_citysbdd_loader,
+                                 get_custom_loader)
+from ..models.config import load_spec
+from ..models import heads as H
+from ..models.model import init_model
+from ..evaluation import evaluate_detection, seg_validation
+from ..train.optim import WarmupCosine
+from ..train.trainer import TrainConfig, create_train_state, make_train_step
+from ..utils import checkpoint as ckpt_lib
+from ..utils.general import (colorstr, increment_path, labels_to_class_weights,
+                             set_logging)
+from ..utils.metrics import fitness2
+
+
+def train(opt):
+    import jax
+    import jax.numpy as jnp
+
+    set_logging()
+    hyp = load_hyp(opt.hyp)
+    if opt.label_smoothing:
+        hyp["label_smoothing"] = opt.label_smoothing
+    save_dir = Path(increment_path(Path(opt.project) / opt.name,
+                                   exist_ok=opt.exist_ok))
+    wdir = save_dir / "weights"
+    wdir.mkdir(parents=True, exist_ok=True)
+    last, best = wdir / "last.npz", wdir / "best.npz"
+    with open(save_dir / "hyp.yaml", "w") as fh:
+        yaml.safe_dump(hyp, fh)
+    with open(save_dir / "opt.yaml", "w") as fh:
+        yaml.safe_dump({k: str(v) for k, v in vars(opt).items()}, fh)
+    results_file = save_dir / "results.txt"
+
+    with open(opt.data) as fh:
+        data = yaml.safe_load(fh)
+    nc = 1 if opt.single_cls else int(data["nc"])
+    names = ["item"] if opt.single_cls else data.get("names", [str(i) for i in range(nc)])
+
+    spec = load_spec(opt.cfg, nc=nc)
+    params, state = init_model(spec, seed=opt.seed)
+
+    # pretrained init (reference train.py:93-95 intersect_dicts)
+    start_epoch, best_fitness = 0, 0.0
+    resume_opt_state = None
+    if opt.weights and os.path.exists(opt.weights):
+        if opt.weights.endswith(".pt"):
+            p_new, s_new, _ = ckpt_lib.load_pt(opt.weights)
+        else:
+            tree = ckpt_lib.load_npz(opt.weights)
+            p_new, s_new = tree["params"], tree["state"]
+            if opt.resume:
+                start_epoch = int(tree.get("epoch", -1)) + 1
+                best_fitness = float(tree.get("best_fitness", 0.0))
+                resume_opt_state = tree.get("opt")
+        params, n1 = ckpt_lib.intersect_load(params, p_new)
+        state, n2 = ckpt_lib.intersect_load(state, s_new)
+        print(f"transferred {n1}+{n2} items from {opt.weights}")
+
+    imgsz = opt.img_size[0] if isinstance(opt.img_size, list) else opt.img_size
+    gs = max(spec.strides)
+    bs = opt.batch_size
+
+    # Loaders
+    train_ds = DetectionDataset(data["train"], img_size=imgsz, batch_size=bs,
+                                augment=True, hyp=hyp, rect=opt.rect,
+                                stride=gs, single_cls=opt.single_cls,
+                                cache_images=opt.cache_images,
+                                image_weights=opt.image_weights)
+    train_loader = DetectionLoader(train_ds, batch_size=bs,
+                                   max_targets=opt.max_targets, shuffle=True,
+                                   workers=opt.workers, seed=opt.seed)
+    nb = len(train_loader)
+
+    seg_kind = opt.seg_data_kind
+    seg_factory = {"citys": get_citys_loader, "citysbdd": get_citysbdd_loader,
+                   "custom": get_custom_loader}[seg_kind]
+    seg_kwargs = dict(root=data["segtrain"], split="train", mode="train",
+                      batch_size=opt.seg_batch_size or bs,
+                      workers=opt.workers, base_size=opt.base_size)
+    segval_kwargs = dict(root=data["segval"], split="val",
+                         mode="val" if seg_kind == "citysbdd" else "testval",
+                         batch_size=max(bs // 8, 1), workers=opt.workers,
+                         base_size=opt.base_size)
+    if seg_kind == "custom":
+        seg_kwargs["n_segcls"] = spec.n_segcls
+        segval_kwargs["n_segcls"] = spec.n_segcls
+        segval_kwargs["batch_size"] = 1
+    else:
+        seg_kwargs["crop_size"] = (imgsz, imgsz // 2)
+        segval_kwargs["crop_size"] = (512, 512)
+    seg_loader = seg_factory(**seg_kwargs)
+    segval_loader = seg_factory(**segval_kwargs)
+
+    # autoanchor (reference train.py:224)
+    if not opt.noautoanchor:
+        from ..utils.autoanchor import check_anchors
+        old = [list(a) for a in spec.anchors]
+        check_anchors(train_ds, spec, thr=hyp["anchor_t"], imgsz=imgsz)
+        if [list(a) for a in spec.anchors] != old:
+            a = np.asarray(spec.anchors, np.float32).reshape(spec.nl, -1, 2)
+            state[f"model.{spec.detect_index}.anchors"] = jnp.asarray(
+                a / np.asarray(spec.strides, np.float32)[:, None, None])
+            state[f"model.{spec.detect_index}.anchor_grid"] = jnp.asarray(
+                a.reshape(spec.nl, 1, -1, 1, 1, 2))
+
+    # class-frequency detect bias init refinement (reference train.py uses
+    # labels for _initialize_biases cf; optional, skipped like reference)
+    cw = labels_to_class_weights(train_ds.labels, nc)
+
+    # Train state + step
+    cfg = TrainConfig(
+        hyp=hyp, epochs=opt.epochs, batch_size=bs,
+        seg_batch_size=opt.seg_batch_size or bs,
+        detgain=opt.detgain, seggain=opt.seggain,
+        seg_loss=opt.seg_loss, seg_aux=opt.seg_aux, adam=opt.adam,
+        max_targets=opt.max_targets,
+        compute_dtype=jnp.bfloat16 if not opt.fp32 else jnp.float32,
+        remat=opt.remat)
+    ts, groups = create_train_state(spec, cfg, seed=opt.seed, params=params,
+                                    state=state)
+    if resume_opt_state is not None:
+        ts["opt"] = resume_opt_state
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and bs % n_dev == 0:
+        from ..parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(n_dev)
+        ts = replicate(mesh, ts)
+        print(f"data-parallel over {n_dev} devices")
+    step = make_train_step(spec, cfg, groups, mesh=mesh)
+
+    nbs = 64
+    nw = max(round(hyp["warmup_epochs"] * nb), 800)
+    sched = WarmupCosine(lr0=hyp["lr0"], lrf=hyp["lrf"], epochs=opt.epochs,
+                         warmup_iters=nw, warmup_bias_lr=hyp["warmup_bias_lr"],
+                         warmup_momentum=hyp["warmup_momentum"],
+                         momentum=hyp["momentum"], linear=opt.linear_lr)
+
+    rng_key = jax.random.PRNGKey(opt.seed)
+    print(f"Image sizes {imgsz} train; {nb} det batches/epoch; "
+          f"starting training for {opt.epochs} epochs...")
+    t0 = time.time()
+    miou = 0.0
+    results = (0, 0, 0, 0, 0, 0, 0)
+    for epoch in range(start_epoch, opt.epochs):
+        if opt.image_weights:
+            maps_w = cw * (1 - np.asarray(results[3] if np.ndim(results[3]) else 0))
+            try:
+                from ..utils.general import labels_to_image_weights
+                iw = labels_to_image_weights(train_ds.labels, nc, cw)
+                train_loader.set_image_weights(iw)
+            except Exception:
+                pass
+        mloss = np.zeros(4)
+        msegloss = 0.0
+        ni_base = nb * epoch
+        seg_iter = iter(seg_loader)
+        for i, (imgs, tgts, tmask, paths, _) in enumerate(train_loader):
+            try:
+                seg_imgs, seg_masks = next(seg_iter)
+            except StopIteration:
+                seg_iter = iter(seg_loader)
+                seg_imgs, seg_masks = next(seg_iter)
+            if len(imgs) == 1 or len(seg_imgs) == 1:
+                continue  # reference train.py:338 BN/SE batch-1 guard
+            ni = i + ni_base
+            lr, lr_bias, mom = sched.at(ni, epoch)
+            accumulate = sched.accumulate_at(ni, nbs, bs)
+            do_update = (ni % accumulate) == 0
+            rng_key, sub = jax.random.split(rng_key)
+            ts, metrics = step(ts, jnp.asarray(imgs), jnp.asarray(tgts),
+                               jnp.asarray(tmask), jnp.asarray(seg_imgs),
+                               jnp.asarray(seg_masks), sub,
+                               jnp.float32(lr), jnp.float32(lr_bias),
+                               jnp.float32(mom), jnp.asarray(do_update))
+            if i % opt.log_interval == 0:
+                items = np.asarray(metrics["det_items"])
+                segl = float(metrics["seg_loss"]) / bs
+                mloss = (mloss * i + items) / (i + 1)
+                msegloss = (msegloss * i + segl) / (i + 1)
+                print(f"epoch {epoch}/{opt.epochs - 1} it {i}/{nb} "
+                      f"box {items[0]:.4f} obj {items[1]:.4f} cls {items[2]:.4f} "
+                      f"seg {segl:.4f} lr {lr:.5f}", flush=True)
+
+        # --- eval (reference train.py:430-453) ---
+        eval_params = ts["ema_params"]
+        eval_state = ts["ema_state"]
+        if (epoch % opt.seg_eval_interval == 0 or
+                epoch >= opt.epochs - opt.seg_eval_tail):
+            _, miou = seg_validation(spec, eval_params, eval_state,
+                                     segval_loader, nclass=spec.n_segcls or 1)
+        if data.get("val") and not opt.noval:
+            val_ds = DetectionDataset(data["val"], img_size=opt.img_size_test,
+                                      batch_size=bs, augment=False, rect=True,
+                                      stride=gs, pad=0.5,
+                                      single_cls=opt.single_cls)
+            val_loader = DetectionLoader(val_ds, batch_size=bs,
+                                         max_targets=300, workers=opt.workers,
+                                         drop_last=False)
+            results, _, _ = evaluate_detection(
+                spec, eval_params, eval_state, val_loader, names=names,
+                conf_thres=0.001, iou_thres=0.6)
+        fi = float(fitness2(np.array(results[:4]).reshape(1, -1), miou))
+        with open(results_file, "a") as fh:
+            fh.write(f"{epoch} " + " ".join(
+                f"{x:.5g}" for x in (*mloss, msegloss, *results[:4], miou, fi))
+                + "\n")
+
+        # --- checkpoint (reference train.py:474-499) ---
+        host_ts = jax.device_get(ts)
+        ck = {"params": host_ts["params"], "state": host_ts["state"],
+              "ema_params": host_ts["ema_params"],
+              "ema_state": host_ts["ema_state"], "opt": host_ts["opt"],
+              "updates": host_ts["updates"], "epoch": epoch,
+              "best_fitness": max(best_fitness, fi),
+              "spec_yaml": json.dumps(spec.yaml)}
+        ckpt_lib.save_npz(str(last), ck)
+        if fi > best_fitness:
+            best_fitness = fi
+            ckpt_lib.save_npz(str(best), ck)
+        print(f"epoch {epoch} done: fitness2 {fi:.4f} (best {best_fitness:.4f})"
+              f" mIoU {miou:.4f}")
+
+    # finalize (reference strip_optimizer, plot_results)
+    for f in (last, best):
+        if f.exists():
+            ckpt_lib.strip_optimizer(str(f))
+    try:
+        from ..utils.plots import plot_results
+        plot_results(results_file, save_dir)
+    except Exception:
+        pass
+    print(f"{opt.epochs - start_epoch} epochs completed in "
+          f"{(time.time() - t0) / 3600:.3f} hours. Results: {save_dir}")
+    return str(save_dir), best_fitness
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, default="", help="initial weights")
+    p.add_argument("--cfg", type=str, default="yolov5s_city_seg")
+    p.add_argument("--data", type=str, default="data/cityscapes_det.yaml")
+    p.add_argument("--hyp", type=str, default="scratch")
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=18)
+    p.add_argument("--seg-batch-size", type=int, default=0, help="0 = same")
+    p.add_argument("--img-size", nargs="+", type=int, default=[832, 1024])
+    p.add_argument("--base-size", type=int, default=1024, help="seg long side")
+    p.add_argument("--rect", action="store_true")
+    p.add_argument("--resume", nargs="?", const=True, default=False)
+    p.add_argument("--nosave", action="store_true")
+    p.add_argument("--noval", action="store_true", help="skip det eval")
+    p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument("--evolve", action="store_true")
+    p.add_argument("--cache-images", action="store_true")
+    p.add_argument("--image-weights", action="store_true")
+    p.add_argument("--device", default="")
+    p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--single-cls", action="store_true")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--sync-bn", action="store_true",
+                   help="no-op: global-batch BN is always on under DP")
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--project", default="runs/train")
+    p.add_argument("--name", default="exp")
+    p.add_argument("--exist-ok", action="store_true")
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-targets", type=int, default=128)
+    p.add_argument("--detgain", type=float, default=0.6)
+    p.add_argument("--seggain", type=float, default=0.35)
+    p.add_argument("--seg-loss", choices=["ce", "ohem", "focal"], default="ce")
+    p.add_argument("--seg-aux", action="store_true", help="BiSe aux heads")
+    p.add_argument("--seg-data-kind", choices=["citys", "citysbdd", "custom"],
+                   default="citys")
+    p.add_argument("--seg-eval-interval", type=int, default=10)
+    p.add_argument("--seg-eval-tail", type=int, default=40)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument("--img-size-test", type=int, default=1024)
+    return p
+
+
+def main(argv=None):
+    opt = build_parser().parse_args(argv)
+    if isinstance(opt.img_size, list) and len(opt.img_size) > 1:
+        opt.img_size_test = opt.img_size[1]
+    print(opt)
+    return train(opt)
+
+
+if __name__ == "__main__":
+    main()

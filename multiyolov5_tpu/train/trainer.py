@@ -63,8 +63,10 @@ def create_train_state(spec: ModelSpec, cfg: TrainConfig, seed: int = 0,
         "opt": (optim.init_adam_state(params) if cfg.adam
                 else optim.init_sgd_state(params)),
         "accum": {k: jnp.zeros_like(v) for k, v in params.items()},
-        "ema_params": dict(params),
-        "ema_state": dict(state),
+        # EMA starts as a *copy* — sharing buffers with params breaks jit
+        # donation (same buffer donated twice)
+        "ema_params": {k: jnp.array(v, copy=True) for k, v in params.items()},
+        "ema_state": {k: jnp.array(v, copy=True) for k, v in state.items()},
         "updates": jnp.zeros((), jnp.int32),
     }
     return ts, groups

@@ -1,0 +1,106 @@
+"""Data pipeline tests on the reference's checked-in 10-image custom dataset."""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+CUSTOM = os.path.join(REF, "data", "customdata")
+pytestmark = pytest.mark.skipif(not os.path.isdir(CUSTOM),
+                                reason="reference fixture data not mounted")
+
+HYP = {"degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0,
+       "perspective": 0.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+       "flipud": 0.0, "fliplr": 0.5, "mosaic": 1.0, "mixup": 0.0}
+
+
+def test_detection_dataset_and_loader(tmp_path):
+    from multiyolov5_tpu.data.detection import DetectionDataset, DetectionLoader
+
+    ds = DetectionDataset(os.path.join(CUSTOM, "detdata/images/train"),
+                          img_size=320, batch_size=4, augment=True, hyp=HYP)
+    assert len(ds) > 0
+    img, labels, path, shapes = ds[0]
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    assert labels.ndim == 2 and labels.shape[1] == 5
+    assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+
+    loader = DetectionLoader(ds, batch_size=4, max_targets=32, shuffle=True,
+                             workers=2)
+    n = 0
+    for imgs, tgts, mask, paths, _ in loader:
+        # mosaic canvas is 2s x 2s but random_perspective's border crops back to s x s
+        assert imgs.shape == (4, 320, 320, 3)
+        assert tgts.shape == (4, 32, 5)
+        assert mask.shape == (4, 32)
+        n += 1
+    assert n == len(loader)
+
+
+def test_detection_rect_eval_mode():
+    from multiyolov5_tpu.data.detection import DetectionDataset
+
+    ds = DetectionDataset(os.path.join(CUSTOM, "detdata/images/val"),
+                          img_size=320, batch_size=2, augment=False, rect=True,
+                          pad=0.5)
+    img, labels, path, shapes = ds[0]
+    assert img.shape[0] % 32 == 0 and img.shape[1] % 32 == 0
+    assert shapes is not None  # ((h0,w0), ((gain), pad)) for mAP unmapping
+
+
+def test_seg_dataset_modes():
+    from multiyolov5_tpu.data.segmentation import CustomSegmentation, SegLoader
+
+    for mode, crop in (("train", None), ("val", None), ("testval", None)):
+        ds = CustomSegmentation(root=CUSTOM, split="train", mode=mode,
+                                base_size=256, crop_size=(256, 256),
+                                jitter=(0.4, 0.4, 0.4, 0.0) if mode == "train" else None)
+        img, mask = ds[0]
+        assert img.dtype == np.float32 and img.max() <= 1.0
+        mask = np.asarray(mask)
+        assert mask.min() >= -1 and mask.max() < 2  # n_segcls=2 fixture
+        if mode == "train":
+            assert img.shape[:2] == (256, 256)
+            assert mask.shape == img.shape[:2]
+
+    loader = SegLoader(CustomSegmentation(root=CUSTOM, split="train",
+                                          mode="train", base_size=128,
+                                          crop_size=(128, 128)),
+                       batch_size=2, shuffle=True, drop_last=True)
+    for imgs, masks in loader:
+        assert imgs.shape == (2, 128, 128, 3)
+        assert masks.shape == (2, 128, 128)
+        break
+
+
+def test_cityscapes_id_mapping_roundtrip():
+    from multiyolov5_tpu.data.cityscapes import id2trainid, trainid2id, ID2TRAINID
+    from multiyolov5_tpu.data.segmentation import CitySegmentation
+
+    # the digitize table in the dataset must agree with the flat lookup
+    ds = CitySegmentation.__new__(CitySegmentation)
+    ds._key = np.array([-1, -1, -1, -1, -1, -1, -1, -1, 0, 1, -1, -1, 2, 3, 4,
+                        -1, -1, -1, 5, -1, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+                        -1, -1, 16, 17, 18])
+    ds._mapping = np.arange(-1, 34).astype("int32")
+    raw = np.random.RandomState(0).randint(0, 34, (16, 16)).astype("int32")
+    want = ds._class_to_index(raw.copy())
+    got = id2trainid(raw)
+    np.testing.assert_array_equal(got, want)
+    # trainId -> labelId -> trainId is identity on the 19 classes
+    t = np.arange(19).reshape(1, 19)
+    back = id2trainid(trainid2id(t)[..., 0])
+    np.testing.assert_array_equal(back, t)
+
+
+def test_long_size_sampler_statistics():
+    from multiyolov5_tpu.data.segmentation import get_long_size
+
+    import random
+    random.seed(0)
+    vals = [get_long_size(1024, 0.65, 3.0, 25) for _ in range(500)]
+    assert all(v % 32 == 0 for v in vals)
+    assert min(vals) >= int(1024 * 0.65) // 32 * 32
+    # mode should sit near base_size - 4*32
+    assert 600 < np.median(vals) < 1400
