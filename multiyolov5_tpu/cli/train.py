@@ -166,6 +166,15 @@ def train(opt):
                          warmup_momentum=hyp["warmup_momentum"],
                          momentum=hyp["momentum"], linear=opt.linear_lr)
 
+    # TensorBoard (reference train.py:631-634); degrades silently without tf
+    tb = None
+    if not opt.no_tb:
+        try:
+            import tensorflow as tf
+            tb = tf.summary.create_file_writer(str(save_dir))
+        except Exception:
+            tb = None
+
     rng_key = jax.random.PRNGKey(opt.seed)
     print(f"Image sizes {imgsz} train; {nb} det batches/epoch; "
           f"starting training for {opt.epochs} epochs...")
@@ -231,6 +240,17 @@ def train(opt):
                 spec, eval_params, eval_state, val_loader, names=names,
                 conf_thres=0.001, iou_thres=0.6)
         fi = float(fitness2(np.array(results[:4]).reshape(1, -1), miou))
+        if tb is not None:
+            import tensorflow as tf
+            with tb.as_default():
+                tags = ["train/box_loss", "train/obj_loss", "train/cls_loss",
+                        "train/seg_loss", "metrics/precision", "metrics/recall",
+                        "metrics/mAP_0.5", "metrics/mAP_0.5:0.95",
+                        "metrics/mIoU", "metrics/fitness2", "x/lr0"]
+                vals = [*mloss[:3], msegloss, *results[:4], miou, fi,
+                        sched.at(nb * (epoch + 1), epoch)[0]]
+                for tag, val in zip(tags, vals):
+                    tf.summary.scalar(tag, float(val), step=epoch)
         with open(results_file, "a") as fh:
             fh.write(f"{epoch} " + " ".join(
                 f"{x:.5g}" for x in (*mloss, msegloss, *results[:4], miou, fi))
@@ -265,6 +285,64 @@ def train(opt):
     return str(save_dir), best_fitness
 
 
+def evolve(opt, generations: int = 300):
+    """Genetic hyperparameter evolution (reference train.py:638-717).
+
+    Each generation mutates from the evolve.txt elite, trains, and appends
+    (fitness, hypers) back; 80% mutation probability, sigma 0.2, single
+    parent or weighted combination of top-5.
+    """
+    from ..data.hyps import EVOLVE_META
+
+    meta = EVOLVE_META
+    opt.noval, opt.nosave = False, True
+    evolve_file = Path(opt.project) / "evolve.txt"
+    evolve_file.parent.mkdir(parents=True, exist_ok=True)
+    base_hyp = load_hyp(opt.hyp)
+    keys = [k for k in meta if k in base_hyp]
+
+    for gen in range(generations):
+        hyp = dict(base_hyp)
+        if evolve_file.exists() and evolve_file.stat().st_size:
+            x = np.loadtxt(str(evolve_file), ndmin=2)
+            n = min(5, len(x))
+            x = x[np.argsort(-fitness2(x[:, 1:5].reshape(-1, 4), 0))][:n] \
+                if x.shape[1] > 5 else x[:n]
+            # parent selection: weighted by fitness (column 0)
+            w = x[:, 0] - x[:, 0].min() + 1e-6
+            parent = x[np.random.choice(n, p=w[:n] / w[:n].sum())]
+            for i, k in enumerate(keys):
+                hyp[k] = float(parent[i + 5])
+            # mutate
+            mp, s = 0.8, 0.2
+            npr = np.random
+            npr.seed(int(time.time()))
+            g = np.array([meta[k][0] for k in keys])
+            v = np.ones(len(keys))
+            while (v == 1).all():
+                v = (g * (npr.random(len(keys)) < mp) * npr.randn(len(keys)) *
+                     npr.random() * s + 1).clip(0.3, 3.0)
+            for i, k in enumerate(keys):
+                hyp[k] = float(hyp[k] * v[i])
+        for k in keys:  # clip to bounds
+            hyp[k] = float(np.clip(hyp[k], meta[k][1], meta[k][2]))
+
+        gen_opt = argparse.Namespace(**vars(opt))
+        gen_opt.evolve = False
+        gen_opt.name = f"evolve_gen{gen}"
+        gen_opt.exist_ok = True
+        import tempfile
+        hyp_path = Path(tempfile.mkdtemp()) / "hyp_evolve.yaml"
+        with open(hyp_path, "w") as fh:
+            yaml.safe_dump(hyp, fh)
+        gen_opt.hyp = str(hyp_path)
+        _, fi = train(gen_opt)
+        with open(evolve_file, "a") as fh:
+            fh.write(" ".join(f"{x:.5g}" for x in
+                              [fi, 0, 0, 0, 0] + [hyp[k] for k in keys]) + "\n")
+        print(f"evolve gen {gen}: fitness {fi:.4f} -> {evolve_file}")
+
+
 def build_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--weights", type=str, default="", help="initial weights")
@@ -282,6 +360,7 @@ def build_parser():
     p.add_argument("--noval", action="store_true", help="skip det eval")
     p.add_argument("--noautoanchor", action="store_true")
     p.add_argument("--evolve", action="store_true")
+    p.add_argument("--evolve-generations", type=int, default=300)
     p.add_argument("--cache-images", action="store_true")
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--device", default="")
@@ -309,6 +388,7 @@ def build_parser():
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--log-interval", type=int, default=10)
+    p.add_argument("--no-tb", action="store_true", help="disable TensorBoard")
     p.add_argument("--img-size-test", type=int, default=1024)
     return p
 
@@ -318,6 +398,8 @@ def main(argv=None):
     if isinstance(opt.img_size, list) and len(opt.img_size) > 1:
         opt.img_size_test = opt.img_size[1]
     print(opt)
+    if opt.evolve:
+        return evolve(opt, generations=opt.evolve_generations)
     return train(opt)
 
 

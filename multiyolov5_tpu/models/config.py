@@ -116,6 +116,12 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
         args = [_resolve_arg(a, env) for a in list(args)]
         n_scaled = max(round(n * gd), 1) if n > 1 else n
         fi = f if isinstance(f, int) else list(f)
+        # resolve relative indices other than -1 to absolute (reference builds
+        # its save list with `x % i`, yolo.py:424 — same arithmetic)
+        if isinstance(fi, int) and fi < -1:
+            fi = i + fi
+        elif isinstance(fi, list):
+            fi = [i + j if j < -1 else j for j in fi]
 
         # ch is [input] + one entry per layer, so layer j's output channels
         # live at ch[j + 1] (the reference instead resets ch at i==0).
@@ -134,6 +140,10 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
             if c2 != no:
                 c2 = make_divisible(c2 * gw, 8)
             args = [c1, c2, *args[1:]]
+            # square list kernels like [1, 1] (hub yolov3.yaml) -> int
+            if len(args) > 2 and isinstance(args[2], list) and \
+                    len(set(args[2])) == 1:
+                args[2] = args[2][0]
             if m in _REPEAT_INSERT:
                 args.insert(2, n_scaled)
                 n_scaled = 1
@@ -151,6 +161,11 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
             c2 = sum(c1)
         elif m == "Detect":
             c1 = [get_ch(j) for j in fi]
+            if isinstance(args[1], int):
+                # 'anchors: N' auto-anchor form (reference yolo.py:405-406):
+                # placeholder N anchors per level, evolved by autoanchor
+                args[1] = [list(range(args[1] * 2))] * len(fi)
+                d["anchors"] = args[1]
             args.append(list(c1))
             c2 = no
             detect_index = i
@@ -176,6 +191,14 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
             c2 = c1
             scale = args[1]
             stride_out = stride_out // scale
+        elif m == "nn.MaxPool2d":
+            c1 = get_ch(fi)
+            c2 = c1
+            if len(args) > 1 and args[1] and args[1] > 1:
+                stride_out *= args[1]
+        elif m == "nn.ZeroPad2d":
+            c1 = get_ch(fi)
+            c2 = c1
         else:
             c1 = get_ch(fi)
             c2 = c1
@@ -191,7 +214,7 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
 
     spec = ModelSpec(
         rows=rows, nc=nc_, n_segcls=n_segcls,
-        anchors=anchors_ if isinstance(anchors_, list) else [],
+        anchors=d["anchors"] if isinstance(d["anchors"], list) else [],
         strides=det_strides, save=save,
         detect_index=detect_index, seg_index=seg_index,
         names=[str(j) for j in range(nc_)], yaml=d,

@@ -28,14 +28,18 @@ def init_model(spec: ModelSpec, seed: int = 0) -> Tuple[Params, Params]:
         m, a = row.module, row.args
         if m == "Conv":
             g = a[5] if len(a) > 5 else 1
-            B.init_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1, g=g)
+            for rep in range(row.n):
+                B.init_conv(ini, name if row.n == 1 else f"{name}.{rep}",
+                            a[0], a[1], a[2] if len(a) > 2 else 1, g=g)
+        elif m == "Bottleneck":
+            for rep in range(row.n):
+                B.init_bottleneck(ini, name if row.n == 1 else f"{name}.{rep}",
+                                  a[0], a[1])
         elif m == "DWConv":
             B.init_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1,
                         g=B.dw_groups(a[0], a[1]))
         elif m == "Focus":
             B.init_focus(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1)
-        elif m == "Bottleneck":
-            B.init_bottleneck(ini, name, a[0], a[1])
         elif m == "BottleneckCSP":
             B.init_bottleneck_csp(ini, name, a[0], a[1], n=a[2])
         elif m == "C3":
@@ -50,7 +54,8 @@ def init_model(spec: ModelSpec, seed: int = 0) -> Tuple[Params, Params]:
             B.init_ghost_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1)
         elif m == "nn.BatchNorm2d":
             ini.bn(name, a[0])
-        elif m in ("Concat", "nn.Upsample", "Contract", "Expand"):
+        elif m in ("Concat", "nn.Upsample", "Contract", "Expand",
+                   "nn.MaxPool2d", "nn.ZeroPad2d"):
             pass
         elif m == "SegMaskPSP":
             H.init_seg_psp(ini, name, a[0], a[2], a[4])
@@ -88,8 +93,11 @@ def _apply_row(ctx: Ctx, row, x):
     if m == "Focus":
         return B.focus(ctx, name, x, k=a[2] if len(a) > 2 else 1)
     if m == "Bottleneck":
-        return B.bottleneck(ctx, name, x, a[0], a[1],
-                            shortcut=a[2] if len(a) > 2 else True)
+        y = x
+        for rep in range(row.n):
+            y = B.bottleneck(ctx, name if row.n == 1 else f"{name}.{rep}", y,
+                             a[0], a[1], shortcut=a[2] if len(a) > 2 else True)
+        return y
     if m == "BottleneckCSP":
         return B.bottleneck_csp(ctx, name, x, a[0], a[1], n=a[2],
                                 shortcut=a[3] if len(a) > 3 else True)
@@ -114,6 +122,20 @@ def _apply_row(ctx: Ctx, row, x):
         if mode == "nearest":
             return upsample_nearest(x, int(scale))
         return resize_bilinear(x, (x.shape[1] * int(scale), x.shape[2] * int(scale)))
+    if m == "nn.MaxPool2d":
+        import jax.lax as lax
+        k = a[0]
+        s = a[1] if len(a) > 1 and a[1] else k
+        p = a[2] if len(a) > 2 else 0
+        return lax.reduce_window(
+            x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+            lax.max, (1, k, k, 1), (1, s, s, 1),
+            ((0, 0), (p, p), (p, p), (0, 0)))
+    if m == "nn.ZeroPad2d":
+        # torch padding tuple (left, right, top, bottom)
+        pl_, pr_, pt_, pb_ = (a[0] if isinstance(a[0], (list, tuple))
+                              else (a[0],) * 4)
+        return jnp.pad(x, ((0, 0), (pt_, pb_), (pl_, pr_), (0, 0)))
     if m == "Contract":
         return B.contract(x, a[0])
     if m == "Expand":
