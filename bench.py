@@ -47,7 +47,7 @@ def main():
     x = jnp.asarray(frame)
 
     def burst(n):
-        outs = [fn(eng.params, eng.state, x) for _ in range(n)]
+        outs = [fn(x) for _ in range(n)]
         for o in jax.tree.leaves(outs[-1]):
             np.asarray(o)  # fetch-sync the tail
         return outs

@@ -202,6 +202,16 @@ def train(opt):
                 seg_imgs, seg_masks = next(seg_iter)
             if len(imgs) == 1 or len(seg_imgs) == 1:
                 continue  # reference train.py:338 BN/SE batch-1 guard
+            if opt.multi_scale:
+                # bucketed multi-scale (reference train.py:354-361): random
+                # /32 size in [0.5, 1.5]x imgsz, from a fixed bucket set so
+                # XLA compiles each size once
+                import cv2 as _cv2
+                buckets = [int(round(imgsz * s / gs)) * gs
+                           for s in (0.5, 0.75, 1.0, 1.25, 1.5)]
+                sz = buckets[np.random.randint(len(buckets))]
+                if sz != imgs.shape[1]:
+                    imgs = np.stack([_cv2.resize(im, (sz, sz)) for im in imgs], 0)
             ni = i + ni_base
             lr, lr_bias, mom = sched.at(ni, epoch)
             accumulate = sched.accumulate_at(ni, nbs, bs)

@@ -50,6 +50,15 @@ class Engine:
     def __init__(self, weights: Any = None, cfg: Any = None,
                  half: bool = True, spec: Optional[ModelSpec] = None,
                  params=None, state=None):
+        # multi-checkpoint ensemble (reference models/experimental.py
+        # Ensemble: decoded outputs concatenated before NMS)
+        self.ensemble: list = []
+        if isinstance(weights, (list, tuple)) and len(weights) > 1:
+            for w in weights[1:]:
+                self.ensemble.append(Engine(w, cfg=cfg, half=half))
+            weights = weights[0]
+        elif isinstance(weights, (list, tuple)):
+            weights = weights[0] if weights else None
         if spec is not None:
             self.spec, self.params, self.state = spec, params, state
         else:
@@ -122,8 +131,12 @@ class Engine:
             cm[list(classes)] = 1.0
             cmask = jnp.asarray(cm)
         cdt = self.compute_dtype
+        # close over the weights: baking them into the executable keeps the
+        # per-call dispatch to a single array argument (flattening ~350 param
+        # leaves per call costs more host time than the device compute)
+        params, state = self.params, self.state
 
-        def run(params, state, img_u8):
+        def run(img_u8):
             x = img_u8.astype(cdt) / 255.0
             if augment:  # TTA (reference models/yolo.py:273-291)
                 zs = []
@@ -177,13 +190,65 @@ class Engine:
         """
         if img.ndim == 3:
             img = img[None]
+        if self.ensemble:
+            return self._call_ensemble(img, orig_hw, conf, iou, classes,
+                                       agnostic, multi_label, max_det, augment)
         fn = self._compiled(tuple(img.shape[1:3]), tuple(orig_hw), conf, iou,
                             tuple(classes) if classes is not None else None,
                             agnostic, multi_label, max_det, augment)
-        boxes, valid, cls_map = fn(self.params, self.state, jnp.asarray(img))
+        boxes, valid, cls_map = fn(jnp.asarray(img))
         boxes = np.asarray(boxes)
         valid = np.asarray(valid)
         dets = [boxes[i][valid[i]] for i in range(boxes.shape[0])]
+        masks = (list(np.asarray(cls_map)) if cls_map is not None
+                 else [None] * len(dets))
+        return dets, masks
+
+    def _decoded(self, img_u8: jnp.ndarray) -> jnp.ndarray:
+        """Decoded (B, N, no) predictions only (ensemble building block)."""
+        key = ("decode", img_u8.shape)
+        if key not in self._cache:
+            spec, cdt = self.spec, self.compute_dtype
+
+            def f(params, state, x):
+                det, _, _ = forward(spec, params, state,
+                                    x.astype(cdt) / 255.0, train=False,
+                                    fused=True, decode=True)
+                return det[0]
+            self._cache[key] = jax.jit(f)
+        return self._cache[key](self.params, self.state, img_u8)
+
+    def _call_ensemble(self, img, orig_hw, conf, iou, classes, agnostic,
+                       multi_label, max_det, augment):
+        """Multi-model NMS ensemble (reference Ensemble.forward: cat + NMS)."""
+        from .ops.nms import nms_batched
+        from .utils.boxes import scale_coords
+
+        x = jnp.asarray(img)
+        zs = [self._decoded(x)] + [e._decoded(x) for e in self.ensemble]
+        z = jnp.concatenate(zs, axis=1)
+        cmask = None
+        if classes is not None:
+            cm = np.zeros((self.spec.nc,), np.float32)
+            cm[list(classes)] = 1.0
+            cmask = jnp.asarray(cm)
+        boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,
+                                   agnostic=agnostic, class_mask=cmask,
+                                   multi_label=multi_label, max_det=max_det)
+        boxes = np.asarray(boxes)
+        valid = np.asarray(valid)
+        dets = []
+        for i in range(boxes.shape[0]):
+            d = boxes[i][valid[i]]
+            if len(d):
+                d = np.asarray(scale_coords(img.shape[1:3], d, orig_hw))
+                d[:, :4] = np.round(d[:, :4])
+            dets.append(d)
+        # seg comes from the primary model's fused path
+        fn = self._compiled(tuple(img.shape[1:3]), tuple(orig_hw), conf, iou,
+                            tuple(classes) if classes is not None else None,
+                            agnostic, multi_label, max_det, False)
+        _, _, cls_map = fn(x)
         masks = (list(np.asarray(cls_map)) if cls_map is not None
                  else [None] * len(dets))
         return dets, masks

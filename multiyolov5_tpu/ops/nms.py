@@ -124,6 +124,12 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
         out = jnp.concatenate([cand_box[safe], scores[safe, None], ci[safe, None]], -1)
         return jnp.where(valid[:, None], out, 0.0), valid
 
+    if jax.default_backend() == "tpu":
+        # the Pallas kernel's SMEM outputs don't vmap; unroll the (static,
+        # small) batch dimension instead
+        outs = [per_image(pred[i]) for i in range(b)]
+        return (jnp.stack([o[0] for o in outs], 0),
+                jnp.stack([o[1] for o in outs], 0))
     return jax.vmap(per_image)(pred)
 
 

@@ -1,0 +1,51 @@
+"""Engine behaviors: TTA, ensemble, det-only configs, geometry caching."""
+
+import numpy as np
+import pytest
+
+from multiyolov5_tpu.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def eng():
+    return Engine(None, cfg="yolov5s_city_seg", half=False)
+
+
+def test_basic_and_cache(eng):
+    img = np.zeros((1, 128, 256, 3), np.uint8)
+    dets, masks = eng(img, (256, 512))
+    assert masks[0].shape == (256, 512) and masks[0].dtype == np.uint8
+    n0 = len(eng._cache)
+    eng(img, (256, 512))
+    assert len(eng._cache) == n0  # same geometry -> no recompile
+    eng(img, (300, 600))
+    assert len(eng._cache) == n0 + 1
+
+
+def test_tta_augment(eng):
+    img = (np.random.RandomState(0).rand(1, 128, 256, 3) * 255).astype(np.uint8)
+    dets, masks = eng(img, (128, 256), conf=0.001, augment=True)
+    assert dets[0].shape[1] == 6
+    assert masks[0].shape == (128, 256)
+
+
+def test_ensemble_concat(eng):
+    e2 = Engine(None, cfg="yolov5s_city_seg", half=False)
+    eng2 = Engine(None, cfg="yolov5s_city_seg", half=False)
+    eng2.ensemble = [e2]
+    img = (np.random.RandomState(1).rand(1, 128, 256, 3) * 255).astype(np.uint8)
+    dets, masks = eng2(img, (128, 256), conf=0.001)
+    assert dets[0].shape[1] == 6
+    assert masks[0] is not None
+
+
+def test_det_only_engine():
+    e = Engine(None, cfg="yolov5s", half=False)
+    dets, masks = e(np.zeros((1, 128, 128, 3), np.uint8), (128, 128))
+    assert masks[0] is None
+
+
+def test_batched_call(eng):
+    img = np.zeros((2, 128, 256, 3), np.uint8)
+    dets, masks = eng(img, (256, 512))
+    assert len(dets) == 2 and len(masks) == 2
