@@ -31,6 +31,15 @@ from .ops.nn import fuse_conv_bn
 from .utils import checkpoint as ckpt_lib
 
 
+def space_to_depth_host(img: np.ndarray) -> np.ndarray:
+    """(B, H, W, C) uint8 -> (B, H/2, W/2, 4C) with torch Focus phase order
+    [ee, oe, eo, oo] (H-offset first).  Pure numpy; runs on host overlapped
+    with device compute so the stem conv gets MXU-friendly 4C channels."""
+    return np.concatenate([
+        img[:, ::2, ::2], img[:, 1::2, ::2],
+        img[:, ::2, 1::2], img[:, 1::2, 1::2]], axis=-1)
+
+
 def scale_img_pad(x: jnp.ndarray, ratio: float, gs: int = 32) -> jnp.ndarray:
     """TTA helper (reference utils/torch_utils.py:248-258): bilinear
     (align_corners=False, like F.interpolate default) scale + 0.447 pad."""
@@ -136,9 +145,17 @@ class Engine:
         # leaves per call costs more host time than the device compute)
         params, state = self.params, self.state
 
+        # host s2d only applies when the model has a Focus stem and no TTA
+        # (TTA rescales the raw image, which doesn't commute with s2d)
+        use_s2d = (not augment and spec.rows and spec.rows[0].module == "Focus")
+
         def run(img_u8):
             x = img_u8.astype(cdt) / 255.0
-            if augment:  # TTA (reference models/yolo.py:273-291)
+            if use_s2d:
+                det, seg, _ = forward(spec, params, state, x, train=False,
+                                      fused=True, decode=True, pre_s2d=True)
+                z = det[0]
+            elif augment:  # TTA (reference models/yolo.py:273-291)
                 zs = []
                 for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
                     xi = jnp.flip(x, 2) if fi == 3 else x
@@ -196,6 +213,9 @@ class Engine:
         fn = self._compiled(tuple(img.shape[1:3]), tuple(orig_hw), conf, iou,
                             tuple(classes) if classes is not None else None,
                             agnostic, multi_label, max_det, augment)
+        if (not augment and self.spec.rows
+                and self.spec.rows[0].module == "Focus"):
+            img = space_to_depth_host(img)
         boxes, valid, cls_map = fn(jnp.asarray(img))
         boxes = np.asarray(boxes)
         valid = np.asarray(valid)
@@ -248,6 +268,8 @@ class Engine:
         fn = self._compiled(tuple(img.shape[1:3]), tuple(orig_hw), conf, iou,
                             tuple(classes) if classes is not None else None,
                             agnostic, multi_label, max_det, False)
+        if self.spec.rows and self.spec.rows[0].module == "Focus":
+            x = jnp.asarray(space_to_depth_host(img))
         _, _, cls_map = fn(x)
         masks = (list(np.asarray(cls_map)) if cls_map is not None
                  else [None] * len(dets))

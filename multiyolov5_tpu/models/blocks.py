@@ -265,6 +265,11 @@ def focus(ctx: Ctx, name: str, x, k: int = 1, s: int = 1,
           p: Optional[int] = None, g: int = 1, act: bool = True):
     """Focus stem as a single stride-2 conv (TPU-critical).
 
+    If ``ctx.pre_s2d`` the input already arrives phase-stacked (B, H/2, W/2,
+    4C) — the engine's host pipeline does the space-to-depth on the uint8
+    frame for free — and the stored kxk conv applies directly (0.26 ms vs
+    0.75 ms for the on-device 6x6 form at 512x1024).
+
     The reference materializes the 2x2 space-to-depth slice-concat
     (models/common.py:549-550); on TPU those four strided slices of the
     3-channel image dominate the whole forward (terrible (8,128)-tile
@@ -276,6 +281,8 @@ def focus(ctx: Ctx, name: str, x, k: int = 1, s: int = 1,
     first).  Exact same math, same stored weights (checkpoint-compatible),
     differentiable through the scatter for training.
     """
+    if getattr(ctx, "pre_s2d", False):
+        return conv(ctx, name + ".conv", x, k, s, p, g, act=act)
     w = ctx.p[name + ".conv.conv.weight"]          # (k, k, 4*c, cout)
     kk, _, c4, cout = w.shape
     c = c4 // 4

@@ -154,7 +154,7 @@ def _apply_row(ctx: Ctx, row, x):
 def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             train: bool = False, fused: bool = False,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
-            compute_dtype=None):
+            compute_dtype=None, pre_s2d: bool = False):
     """Run the network.
 
     Args:
@@ -170,7 +170,8 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         decode = not train
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    ctx = Ctx(p=params, s=state, train=train, fused=fused, rng=rng)
+    ctx = Ctx(p=params, s=state, train=train, fused=fused, rng=rng,
+              pre_s2d=pre_s2d)
     cache: Dict[int, Any] = {}
     y = x
     det_raw = None

@@ -98,6 +98,7 @@ class Ctx:
     rng: Optional[jax.Array] = None  # dropout rng (train only)
     new_state: Params = field(default_factory=dict)
     compute_dtype: jnp.dtype = jnp.float32
+    pre_s2d: bool = False            # input already space-to-depth'd (stem)
 
     def next_rng(self) -> Optional[jax.Array]:
         if self.rng is None:
