@@ -347,10 +347,16 @@ def evolve(opt, generations: int = 300):
             yaml.safe_dump(hyp, fh)
         gen_opt.hyp = str(hyp_path)
         _, fi = train(gen_opt)
-        with open(evolve_file, "a") as fh:
-            fh.write(" ".join(f"{x:.5g}" for x in
-                              [fi, 0, 0, 0, 0] + [hyp[k] for k in keys]) + "\n")
+        from ..utils.general import print_mutation
+        print_mutation({k: hyp[k] for k in keys}, (fi, 0, 0, 0, 0),
+                       yaml_file=str(Path(opt.project) / "hyp_evolved.yaml"),
+                       evolve_txt=str(evolve_file))
         print(f"evolve gen {gen}: fitness {fi:.4f} -> {evolve_file}")
+    try:
+        from ..utils.plots import plot_evolution
+        plot_evolution(str(evolve_file), keys)
+    except Exception:
+        pass
 
 
 def build_parser():

@@ -260,6 +260,57 @@ class DetectionDataset:
             scale=self.hyp.get("scale", 0.5), shear=self.hyp.get("shear", 0),
             perspective=self.hyp.get("perspective", 0.0), border=self.mosaic_border)
 
+    def load_mosaic9(self, index):
+        """9-image mosaic (reference utils/datasets.py:727-798)."""
+        labels9 = []
+        s = self.img_size
+        indices = [index] + random.choices(self.indices, k=8)
+        img9 = None
+        hp = wp = -1
+        for i, idx in enumerate(indices):
+            img, _, (h, w) = self.load_image(idx)
+            if i == 0:  # center
+                img9 = np.full((s * 3, s * 3, img.shape[2]), 114, np.uint8)
+                h0, w0 = h, w
+                c = s, s, s + w, s + h
+            elif i == 1:  # top
+                c = s, s - h, s + w, s
+            elif i == 2:  # top right
+                c = s + wp, s - h, s + wp + w, s
+            elif i == 3:  # right
+                c = s + w0, s, s + w0 + w, s + h
+            elif i == 4:  # bottom right
+                c = s + w0, s + hp, s + w0 + w, s + hp + h
+            elif i == 5:  # bottom
+                c = s + w0 - w, s + h0, s + w0, s + h0 + h
+            elif i == 6:  # bottom left
+                c = s + w0 - wp - w, s + h0, s + w0 - wp, s + h0 + h
+            elif i == 7:  # left
+                c = s - w, s + h0 - h, s, s + h0
+            else:  # top left
+                c = s - w, s + h0 - hp - h, s, s + h0 - hp
+            padx, pady = c[:2]
+            x1, y1, x2, y2 = (max(x, 0) for x in c)
+            labels = self.labels[idx].copy()
+            if labels.size:
+                labels[:, 1:] = np.asarray(
+                    xywhn2xyxy(labels[:, 1:], w, h, padx, pady))
+            labels9.append(labels)
+            img9[y1:y2, x1:x2] = img[y1 - pady:, x1 - padx:][:y2 - y1, :x2 - x1]
+            hp, wp = h, w
+        yc, xc = (int(random.uniform(0, s)) for _ in self.mosaic_border)
+        img9 = img9[yc:yc + 2 * s, xc:xc + 2 * s]
+        labels9 = np.concatenate(labels9, 0)
+        if len(labels9):
+            labels9[:, [1, 3]] -= xc
+            labels9[:, [2, 4]] -= yc
+            np.clip(labels9[:, 1:], 0, 2 * s, out=labels9[:, 1:])
+        return random_perspective(
+            img9, labels9,
+            degrees=self.hyp.get("degrees", 0), translate=self.hyp.get("translate", 0.1),
+            scale=self.hyp.get("scale", 0.5), shear=self.hyp.get("shear", 0),
+            perspective=self.hyp.get("perspective", 0.0), border=self.mosaic_border)
+
     def __getitem__(self, index):
         index = self.indices[index]
         hyp = self.hyp
@@ -380,6 +431,34 @@ def augment_hsv(img, hgain=0.5, sgain=0.5, vgain=0.5):
     img_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat),
                          cv2.LUT(val, lut_val))).astype(img.dtype)
     cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR, dst=img)
+
+
+def hist_equalize(img, clahe: bool = True, bgr: bool = False):
+    """Histogram equalization on BGR/RGB uint8 (reference :647+ hist_equalize)."""
+    yuv = cv2.cvtColor(img, cv2.COLOR_BGR2YUV if bgr else cv2.COLOR_RGB2YUV)
+    if clahe:
+        c = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+        yuv[:, :, 0] = c.apply(yuv[:, :, 0])
+    else:
+        yuv[:, :, 0] = cv2.equalizeHist(yuv[:, :, 0])
+    return cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR if bgr else cv2.COLOR_YUV2RGB)
+
+
+def replicate(img, labels):
+    """Replicate the smallest-half boxes into free corners (reference
+    utils/datasets.py replicate())."""
+    h, w = img.shape[:2]
+    boxes = labels[:, 1:].astype(int)
+    x1, y1, x2, y2 = boxes.T
+    s = ((x2 - x1) + (y2 - y1)) / 2
+    for i in s.argsort()[: round(s.size * 0.5)]:
+        x1b, y1b, x2b, y2b = boxes[i]
+        bh, bw = y2b - y1b, x2b - x1b
+        yc, xc = int(random.uniform(0, h - bh)), int(random.uniform(0, w - bw))
+        x1a, y1a, x2a, y2a = [xc, yc, xc + bw, yc + bh]
+        img[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        labels = np.append(labels, [[labels[i, 0], x1a, y1a, x2a, y2a]], axis=0)
+    return img, labels
 
 
 def cutout(img, labels):

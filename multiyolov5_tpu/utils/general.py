@@ -91,3 +91,104 @@ def check_dataset(data: dict) -> None:
 
 def clean_str(s: str) -> str:
     return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
+
+
+def check_file(file: str) -> str:
+    """Find a file locally (reference utils/general.py:102-113)."""
+    if not file or os.path.isfile(file):
+        return file
+    files = glob.glob("./**/" + file, recursive=True)
+    assert files, f"File Not Found: {file}"
+    assert len(files) == 1, f"Multiple files match '{file}': {files}"
+    return files[0]
+
+
+def check_requirements(requirements=(), exclude=()) -> None:
+    """Soft dependency check (reference auto-pip is disabled: zero egress)."""
+    import importlib
+    for r in requirements:
+        name = re.split(r"[<>=!]", r)[0].strip()
+        if name in exclude:
+            continue
+        try:
+            importlib.import_module(name)
+        except ImportError:
+            print(f"WARNING: requirement {r!r} not installed "
+                  f"(auto-install disabled)")
+
+
+def check_imshow() -> bool:
+    """Can this environment display images? (reference :116-124)."""
+    try:
+        import cv2
+        assert not os.environ.get("DISPLAY") is None or os.name == "nt"
+        cv2.imshow("test", np.zeros((1, 1, 3), np.uint8))
+        cv2.waitKey(1)
+        cv2.destroyAllWindows()
+        cv2.waitKey(1)
+        return True
+    except Exception as e:
+        print(f"WARNING: environment does not support cv2.imshow() ({e})")
+        return False
+
+
+def check_git_status() -> None:
+    """No-op in offline environments (reference recommends git pull)."""
+    return None
+
+
+def print_mutation(hyp: dict, results, yaml_file: str = "hyp_evolved.yaml",
+                   evolve_txt: str = "evolve.txt", n_metrics: int = 5) -> None:
+    """Log an evolution result, keep evolve.txt fitness-sorted (column 0 =
+    fitness2), and write the current-best hyp yaml
+    (reference utils/general.py:528-556, adapted to the fitness2 column
+    layout [fitness, P, R, mAP50, mAP, *hypers])."""
+    import yaml
+
+    keys = list(hyp.keys())
+    print("evolved: " + ", ".join(f"{k}={hyp[k]:.4g}" for k in keys[:8]) + " ...")
+    with open(evolve_txt, "a") as f:
+        f.write(" ".join(f"{x:.5g}" for x in list(results) + [hyp[k] for k in keys])
+                + "\n")
+    x = np.unique(np.loadtxt(evolve_txt, ndmin=2), axis=0)
+    x = x[np.argsort(-x[:, 0])]
+    np.savetxt(evolve_txt, x, "%12.5g")
+    best = {k: float(x[0, n_metrics + i]) for i, k in enumerate(keys)}
+    with open(yaml_file, "w") as f:
+        yaml.safe_dump(best, f)
+
+
+def copy_attr(a, b, include=(), exclude=()) -> None:
+    """Copy attributes b -> a (reference utils/torch_utils.py copy_attr)."""
+    for k, v in b.__dict__.items():
+        if (include and k not in include) or k.startswith("_") or k in exclude:
+            continue
+        setattr(a, k, v)
+
+
+def prune_params(params: dict, amount: float = 0.3) -> dict:
+    """Global magnitude pruning of conv weights (reference
+    utils/torch_utils.py:171-179 prune()).  Returns a new flat param dict
+    with the smallest |w| zeroed per tensor."""
+    import jax.numpy as jnp
+    out = {}
+    for k, v in params.items():
+        if k.endswith(".weight") and getattr(v, "ndim", 0) == 4:
+            flat = jnp.abs(v.reshape(-1))
+            kth = jnp.quantile(flat.astype(jnp.float32), amount)
+            out[k] = jnp.where(jnp.abs(v) < kth, 0.0, v).astype(v.dtype)
+        else:
+            out[k] = v
+    print(f"pruned conv weights to ~{amount:.0%} global sparsity "
+          f"({sparsity(out):.3%} actual zeros)")
+    return out
+
+
+def sparsity(params: dict) -> float:
+    import numpy as _np
+    zeros = total = 0
+    for v in params.values():
+        a = _np.asarray(v)
+        zeros += int((a == 0).sum())
+        total += a.size
+    return zeros / max(total, 1)

@@ -106,6 +106,35 @@ def plot_results(results_file="results.txt", save_dir=""):
     plt.close()
 
 
+def plot_evolution(evolve_txt="evolve.txt", keys=(), save_dir=None):
+    """Hyperparameter-evolution scatter grid (reference utils/plots.py
+    plot_evolution): fitness vs each hyper, best point highlighted."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.loadtxt(evolve_txt, ndmin=2)
+    if not len(x):
+        return
+    f = x[:, 0]
+    n = x.shape[1] - 5
+    keys = list(keys) if keys else [f"hyp{i}" for i in range(n)]
+    plt.figure(figsize=(12, 12), tight_layout=True)
+    cols = int(np.ceil(np.sqrt(n)))
+    for i in range(n):
+        y = x[:, 5 + i]
+        plt.subplot(cols, int(np.ceil(n / cols)), i + 1)
+        plt.scatter(y, f, c=f, cmap="viridis", alpha=0.8, edgecolors="none")
+        plt.plot(y[f.argmax()], f.max(), "k+", markersize=15)
+        plt.title(f"{keys[i] if i < len(keys) else i} = {y[f.argmax()]:.3g}",
+                  fontdict={"size": 9})
+        plt.tick_params(labelsize=7)
+    out = Path(save_dir or Path(evolve_txt).parent) / "evolve.png"
+    plt.savefig(out, dpi=200)
+    plt.close()
+    print(f"saved evolution plot to {out}")
+
+
 def plot_pr_curve(px, py, ap, save_dir="pr_curve.png", names=()):
     import matplotlib
     matplotlib.use("Agg")
