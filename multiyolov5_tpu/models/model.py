@@ -240,3 +240,16 @@ class Model:
     def __call__(self, x, train: bool = False, rng=None, decode=None):
         return forward(self.spec, self.params, self.state, x,
                        train=train, fused=self.fused, rng=rng, decode=decode)
+
+    def info(self, verbose: bool = False, img_size: int = 640):
+        """Param/GFLOPs summary (reference Model.info)."""
+        from ..utils.profiling import model_info
+        return model_info(self.spec, self.params, img_size, verbose)
+
+    def autoshape(self):
+        """Wrap in the any-input inference API (reference Model.autoshape)."""
+        from ..engine import Engine
+        from ..hub import AutoShape
+        eng = Engine(spec=self.spec, params=dict(self.params),
+                     state=dict(self.state), half=False)
+        return AutoShape(eng)

@@ -89,8 +89,12 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
 
     fwd = forward
     if cfg.remat:
-        fwd = jax.checkpoint(forward, static_argnums=(0,),
-                             static_argnames=("train", "fused", "decode"))
+        def fwd(spec_, params, state, x, train=False, rng=None, decode=False,
+                fused=False):
+            def inner(p, s, xx, r):
+                return forward(spec_, p, s, xx, train=train, rng=r,
+                               decode=decode, fused=fused)
+            return jax.checkpoint(inner)(params, state, x, rng)
 
     def seg_loss_fn(seg_out, seg_lbls):
         if cfg.seg_loss == "ohem":

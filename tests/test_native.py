@@ -1,0 +1,43 @@
+"""Native C++ preprocessing kernels: exactness vs numpy reference."""
+
+import numpy as np
+import pytest
+
+from multiyolov5_tpu import native
+
+
+def test_s2d_exact(rng):
+    img = rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+    want = np.concatenate([img[::2, ::2], img[1::2, ::2],
+                           img[::2, 1::2], img[1::2, 1::2]], -1)
+    np.testing.assert_array_equal(native.space_to_depth(img), want)
+
+
+def test_bgr2rgb_s2d_exact(rng):
+    img = rng.randint(0, 255, (64, 96, 3)).astype(np.uint8)
+    x = img[:, :, ::-1]
+    want = np.concatenate([x[::2, ::2], x[1::2, ::2],
+                           x[::2, 1::2], x[1::2, 1::2]], -1)
+    np.testing.assert_array_equal(native.space_to_depth(img, bgr2rgb=True), want)
+
+
+def test_letterbox_fill_exact(rng):
+    img = np.ascontiguousarray(rng.randint(0, 255, (40, 90, 3)).astype(np.uint8))
+    got = native.letterbox_fill(img, (64, 128), 12, 19)
+    want = np.full((64, 128, 3), 114, np.uint8)
+    want[12:52, 19:109] = img
+    np.testing.assert_array_equal(got, want)
+
+
+def test_normalize_exact(rng):
+    img = rng.randint(0, 255, (32, 32, 3)).astype(np.uint8)
+    np.testing.assert_allclose(native.normalize(img),
+                               img.astype(np.float32) / 255.0)
+
+
+def test_engine_batch_s2d_roundtrip(rng):
+    from multiyolov5_tpu.engine import space_to_depth_host
+    img = rng.randint(0, 255, (2, 64, 96, 3)).astype(np.uint8)
+    want = np.concatenate([img[:, ::2, ::2], img[:, 1::2, ::2],
+                           img[:, ::2, 1::2], img[:, 1::2, 1::2]], -1)
+    np.testing.assert_array_equal(space_to_depth_host(img), want)
