@@ -161,8 +161,10 @@ def strip_optimizer(path: str, out_path: Optional[str] = None) -> None:
     ckpt = load_npz(path)
     final = {
         "params": ckpt.get("ema_params") or ckpt["params"],
-        "state": ckpt["state"],
+        "state": ckpt.get("ema_state") or ckpt["state"],
         "spec_yaml": ckpt.get("spec_yaml"),
         "step": ckpt.get("step"),
+        "epoch": ckpt.get("epoch"),
+        "best_fitness": ckpt.get("best_fitness"),
     }
     save_npz(out_path or path, final)
