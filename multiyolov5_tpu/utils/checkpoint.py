@@ -62,6 +62,44 @@ def to_torch_state_dict(params: Params, state: Params) -> Dict[str, np.ndarray]:
     return out
 
 
+def _torch_load_reference(path: str):
+    """torch.load of a reference checkpoint.
+
+    Published pspv5s/pspv5m .pt files pickle whole nn.Modules, so unpickling
+    needs the reference's ``models``/``utils`` packages importable.  We try
+    plainly first; on ModuleNotFoundError we look for a reference checkout
+    (MULTIYOLOV5_REF env var, /root/reference, or ./reference), stub its
+    heavyweight imports (onnx, torchvision), and retry.
+    """
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as e:
+        import os
+        import sys
+        import types
+
+        candidates = [os.environ.get("MULTIYOLOV5_REF"), "/root/reference",
+                      "./reference", "./multiyolov5"]
+        ref = next((c for c in candidates if c and os.path.isdir(c)), None)
+        if ref is None:
+            raise ModuleNotFoundError(
+                f"{e}. Unpickling a reference .pt needs the reference repo; "
+                f"set MULTIYOLOV5_REF to its checkout or convert once with "
+                f"tools/convert_pt.py") from e
+        for name in ("onnx", "onnx.external_data_helper", "torchvision",
+                     "torchvision.ops", "seaborn", "wandb"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        if not hasattr(sys.modules["torchvision"], "ops"):
+            sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+        sys.path.insert(0, ref)
+        try:
+            return torch.load(path, map_location="cpu", weights_only=False)
+        finally:
+            sys.path.remove(ref)
+
+
 def load_pt(path: str, prefer_ema: bool = True) -> Tuple[Params, Params, Dict[str, Any]]:
     """Load a reference ``.pt`` checkpoint.
 
@@ -69,9 +107,7 @@ def load_pt(path: str, prefer_ema: bool = True) -> Tuple[Params, Params, Dict[st
     'ema' entry, fall back to 'model'; tolerate a bare state_dict.  Requires
     torch (baked into the image) purely as an unpickler.
     """
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    ckpt = _torch_load_reference(path)
     meta: Dict[str, Any] = {}
     if isinstance(ckpt, dict) and ("model" in ckpt or "ema" in ckpt):
         meta = {k: ckpt.get(k) for k in ("epoch", "best_fitness", "training_results")

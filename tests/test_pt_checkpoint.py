@@ -1,0 +1,84 @@
+"""End-to-end .pt checkpoint flow with a REAL reference-format pickle.
+
+Builds the reference torch Model, saves the reference train.py:482-489
+checkpoint dict (whole pickled modules incl. an EMA copy), then:
+  * loads it via the Engine in a subprocess-like clean import state,
+  * verifies EMA is preferred,
+  * converts with tools/convert_pt and reloads the npz,
+  * checks decoded outputs agree across all three load paths.
+"""
+
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def pt_file(tmp_path_factory):
+    import torch
+
+    for name in ("onnx", "onnx.external_data_helper", "torchvision",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+    sys.modules["torchvision.ops"].nms = None
+    sys.path.insert(0, REF)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        import importlib
+        yolo = importlib.import_module("models.yolo")
+        torch.manual_seed(7)
+        model = yolo.Model(os.path.join(REF, "models", "yolov5s_city_seg.yaml"))
+        model.eval()
+        import copy
+        ema = copy.deepcopy(model)
+        with torch.no_grad():  # make EMA weights distinguishable
+            for p in ema.parameters():
+                p.add_(0.001)
+        ckpt = {"epoch": 42, "best_fitness": np.array([0.5]),
+                "training_results": "x", "model": model.half(),
+                "ema": ema.half(), "updates": 100, "optimizer": None,
+                "wandb_id": None}
+        p = tmp_path_factory.mktemp("ckpt") / "ref_style.pt"
+        torch.save(ckpt, str(p))
+        return str(p)
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(REF)
+
+
+def test_pt_load_prefers_ema_and_embeds_cfg(pt_file):
+    from multiyolov5_tpu.utils.checkpoint import load_pt
+
+    params, state, meta = load_pt(pt_file)
+    assert meta.get("epoch") == 42
+    assert meta.get("yaml") is not None and meta["yaml"]["nc"] == 10
+    p_model, _, _ = load_pt(pt_file, prefer_ema=False)
+    k = "model.0.conv.conv.weight"
+    # EMA weights were shifted by +0.001
+    d = float(np.abs(np.asarray(params[k]) - np.asarray(p_model[k])).mean())
+    assert 0.0005 < d < 0.002
+
+
+def test_engine_pt_npz_agree(pt_file, tmp_path):
+    from multiyolov5_tpu.engine import Engine
+    from multiyolov5_tpu.tools.convert_pt import convert
+
+    img = (np.random.RandomState(3).rand(1, 128, 256, 3) * 255).astype(np.uint8)
+    e1 = Engine(pt_file, half=False)
+    d1, m1 = e1(img, (256, 512), conf=0.001)
+
+    npz = convert(pt_file, str(tmp_path / "conv.npz"))
+    e2 = Engine(npz, half=False)
+    d2, m2 = e2(img, (256, 512), conf=0.001)
+
+    np.testing.assert_allclose(d1[0], d2[0], rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(m1[0], m2[0])
