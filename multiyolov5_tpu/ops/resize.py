@@ -114,6 +114,29 @@ def _up2x_axis(x: jnp.ndarray, axis: int, align_corners: bool) -> jnp.ndarray:
     return out.reshape(new_shape)
 
 
+def _resize_axis_blocked(x: jnp.ndarray, axis: int, n_out: int,
+                         align_corners: bool, prec, block: int = 256):
+    """Banded interpolation matmul: the (n_out, n_in) bilinear matrix has
+    bandwidth 2, so an output block of `block` rows only touches a narrow
+    input window.  Blocking cuts both the matrix traffic and the matmul
+    FLOPs by ~n_out/block vs the dense einsum, with identical results (the
+    excluded columns are exact zeros)."""
+    n_in = x.shape[axis]
+    m = _bilinear_matrix_np(n_in, n_out, align_corners)
+    eq = "oh,bhwc->bowc" if axis == 1 else "ow,bhwc->bhoc"
+    chunks = []
+    for o0 in range(0, n_out, block):
+        rows = m[o0:o0 + block]
+        nz = np.nonzero(rows.any(0))[0]
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        sub = jnp.asarray(rows[:, lo:hi]).astype(x.dtype)
+        xs = jax.lax.slice_in_dim(x, lo, hi, axis=axis)
+        y = jnp.einsum(eq, sub, xs, precision=prec,
+                       preferred_element_type=jnp.float32)
+        chunks.append(y.astype(x.dtype))
+    return jnp.concatenate(chunks, axis)
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.ndarray:
     """Bilinear resize of NHWC ``x`` to (H_out, W_out), exact torch semantics.
 
@@ -137,14 +160,20 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.n
     # generates layout-hostile memory patterns while the "wasteful" dense
     # interpolation matmul rides the MXU.  Kept for reference/tests.
     if h != h_out:
-        mh = bilinear_matrix(h, h_out, align_corners).astype(xf.dtype)
-        xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=prec,
-                        preferred_element_type=jnp.float32)
-        xf = xf.astype(dt) if fast else xf
+        if h_out >= 512 and h_out > h:
+            xf = _resize_axis_blocked(xf, 1, h_out, align_corners, prec)
+        else:
+            mh = bilinear_matrix(h, h_out, align_corners).astype(xf.dtype)
+            xf = jnp.einsum("oh,bhwc->bowc", mh, xf, precision=prec,
+                            preferred_element_type=jnp.float32)
+            xf = xf.astype(dt) if fast else xf
     if w != w_out:
-        mw = bilinear_matrix(w, w_out, align_corners).astype(xf.dtype)
-        xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=prec,
-                        preferred_element_type=jnp.float32)
+        if w_out >= 512 and w_out > w:
+            xf = _resize_axis_blocked(xf, 2, w_out, align_corners, prec)
+        else:
+            mw = bilinear_matrix(w, w_out, align_corners).astype(xf.dtype)
+            xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=prec,
+                            preferred_element_type=jnp.float32)
     return xf.astype(dt)
 
 
