@@ -554,17 +554,86 @@ def init_ghost_conv(ini: Initializer, name: str, c1: int, c2: int, k: int = 1) -
     init_conv(ini, name + ".cv2", c_, c_, 5, g=c_)
 
 
-def ghost_conv(ctx: Ctx, name: str, x, k: int = 1, s: int = 1, c2: int = 0):
+def ghost_conv(ctx: Ctx, name: str, x, k: int = 1, s: int = 1, c2: int = 0,
+               act: bool = True):
     c_ = c2 // 2
-    y = conv(ctx, name + ".cv1", x, k, s)
-    return jnp.concatenate([y, conv(ctx, name + ".cv2", y, 5, 1, g=c_)], -1)
+    y = conv(ctx, name + ".cv1", x, k, s, act=act)
+    return jnp.concatenate([y, conv(ctx, name + ".cv2", y, 5, 1, g=c_, act=act)], -1)
 
 
 def init_cross_conv(ini: Initializer, name: str, c1: int, c2: int, k: int = 3,
-                    e: float = 1.0) -> None:
+                    g: int = 1, e: float = 1.0) -> None:
+    """reference models/experimental.py CrossConv: (1,k) then (k,1) convs."""
     c_ = int(c2 * e)
-    init_conv(ini, name + ".cv1", c1, c_, 1)   # (1,k) conv — stored square-keyed below
-    init_conv(ini, name + ".cv2", c_, c2, k)
+    init_conv(ini, name + ".cv1", c1, c_, (1, k))
+    init_conv(ini, name + ".cv2", c_, c2, (k, 1), g=g)
+
+
+def cross_conv(ctx: Ctx, name: str, x, c1: int, c2: int, k: int = 3,
+               s: int = 1, g: int = 1, e: float = 1.0, shortcut: bool = False):
+    y = conv(ctx, name + ".cv1", x, (1, k), (1, s))
+    y = conv(ctx, name + ".cv2", y, (k, 1), (s, 1), g=g)
+    return x + y if (shortcut and c1 == c2) else y
+
+
+def init_mixconv2d(ini: Initializer, name: str, c1: int, c2: int,
+                   k=(1, 3), s: int = 1, equal_ch: bool = True) -> None:
+    """reference models/experimental.py MixConv2d: parallel convs with mixed
+    kernel sizes over channel splits, then BN + LeakyReLU."""
+    import numpy as np
+    groups = len(k)
+    if equal_ch:
+        i = np.linspace(0, groups - 1e-6, c2).astype(int)
+        c_ = [int((i == g).sum()) for g in range(groups)]
+    else:
+        b = [c2] + [0] * groups
+        a = np.eye(groups + 1, groups, k=-1)
+        a -= np.roll(a, 1, axis=1)
+        a *= np.array(k) ** 2
+        a[0] = 1
+        c_ = np.linalg.lstsq(a, b, rcond=None)[0].round().astype(int).tolist()
+    for g, (kk, cc) in enumerate(zip(k, c_)):
+        ini.conv(f"{name}.m.{g}", c1, int(cc), kk, bias=False)
+    ini.bn(name + ".bn", c2)
+
+
+def mixconv2d(ctx: Ctx, name: str, x, k=(1, 3), s: int = 1):
+    ys = []
+    g = 0
+    while f"{name}.m.{g}.weight" in ctx.p:
+        ys.append(ctx.conv2d(f"{name}.m.{g}", x, k[g], s=s))
+        g += 1
+    y = jnp.concatenate(ys, -1)
+    if not ctx.fused:
+        y = ctx.batch_norm(name + ".bn", y)
+    return x + jax.nn.leaky_relu(y, 0.1)  # residual (reference :95)
+
+
+def init_ghost_bottleneck(ini: Initializer, name: str, c1: int, c2: int,
+                          k: int = 3, s: int = 1) -> None:
+    """reference models/experimental.py GhostBottleneck."""
+    c_ = c2 // 2
+    init_ghost_conv(ini, name + ".conv.0", c1, c_, 1)
+    if s == 2:
+        init_conv(ini, name + ".conv.1", c_, c_, k, g=math.gcd(c_, c_))
+    init_ghost_conv(ini, name + ".conv.2", c_, c2, 1)
+    if s == 2:
+        init_conv(ini, name + ".shortcut.0", c1, c1, k, g=math.gcd(c1, c1))
+        init_conv(ini, name + ".shortcut.1", c1, c2, 1)
+
+
+def ghost_bottleneck(ctx: Ctx, name: str, x, c1: int, c2: int, k: int = 3,
+                     s: int = 1):
+    c_ = c2 // 2
+    y = ghost_conv(ctx, name + ".conv.0", x, 1, 1, c2=c_)
+    if s == 2:
+        y = conv(ctx, name + ".conv.1", y, k, s, g=c_, act=False)
+    y = ghost_conv(ctx, name + ".conv.2", y, 1, 1, c2=c2, act=False)
+    if s == 2:
+        sc = conv(ctx, name + ".shortcut.0", x, k, s, g=c1, act=False)
+        sc = conv(ctx, name + ".shortcut.1", sc, 1, 1, act=False)
+        return y + sc
+    return y + x if c1 == c2 else y
 
 
 def init_sum(ini: Initializer, name: str, n: int, weight: bool = False) -> None:

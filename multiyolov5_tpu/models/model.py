@@ -52,6 +52,20 @@ def init_model(spec: ModelSpec, seed: int = 0) -> Tuple[Params, Params]:
             B.init_aspp(ini, name, a[0], a[1])
         elif m == "GhostConv":
             B.init_ghost_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1)
+        elif m == "GhostBottleneck":
+            B.init_ghost_bottleneck(ini, name, a[0], a[1],
+                                    a[2] if len(a) > 2 else 3,
+                                    a[3] if len(a) > 3 else 1)
+        elif m == "CrossConv":
+            B.init_cross_conv(ini, name, a[0], a[1], a[2] if len(a) > 2 else 3)
+        elif m == "MixConv2d":
+            B.init_mixconv2d(ini, name, a[0], a[1],
+                             tuple(a[2]) if len(a) > 2 else (1, 3),
+                             a[3] if len(a) > 3 else 1)
+        elif m == "Sum":
+            B.init_sum(ini, name, len(row.f), a[1] if len(a) > 1 else False)
+        elif m == "Classify":
+            B.init_classify(ini, name, a[0], a[1], a[2] if len(a) > 2 else 1)
         elif m == "nn.BatchNorm2d":
             ini.bn(name, a[0])
         elif m in ("Concat", "nn.Upsample", "Contract", "Expand",
@@ -113,6 +127,24 @@ def _apply_row(ctx: Ctx, row, x):
     if m == "GhostConv":
         return B.ghost_conv(ctx, name, x, k=a[2] if len(a) > 2 else 1,
                             s=a[3] if len(a) > 3 else 1, c2=a[1])
+    if m == "GhostBottleneck":
+        return B.ghost_bottleneck(ctx, name, x, a[0], a[1],
+                                  k=a[2] if len(a) > 2 else 3,
+                                  s=a[3] if len(a) > 3 else 1)
+    if m == "CrossConv":
+        return B.cross_conv(ctx, name, x, a[0], a[1],
+                            k=a[2] if len(a) > 2 else 3,
+                            s=a[3] if len(a) > 3 else 1,
+                            g=a[4] if len(a) > 4 else 1,
+                            e=a[5] if len(a) > 5 else 1.0,
+                            shortcut=a[6] if len(a) > 6 else False)
+    if m == "MixConv2d":
+        return B.mixconv2d(ctx, name, x, k=tuple(a[2]) if len(a) > 2 else (1, 3),
+                           s=a[3] if len(a) > 3 else 1)
+    if m == "Sum":
+        return B.sum_layer(ctx, name, x, weight=a[1] if len(a) > 1 else False)
+    if m == "Classify":
+        return B.classify(ctx, name, x, k=a[2] if len(a) > 2 else 1)
     if m == "nn.BatchNorm2d":
         return ctx.batch_norm(name, x)
     if m == "Concat":

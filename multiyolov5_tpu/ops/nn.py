@@ -34,11 +34,18 @@ BN_EPS = 1e-3      # reference utils/torch_utils.py initialize_weights
 BN_MOMENTUM = 0.03
 
 
-def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
-    """'same' padding for odd kernels (reference models/common.py:22-27)."""
+def autopad(k, p=None, d: int = 1):
+    """'same' padding for odd kernels (reference models/common.py:22-27).
+    Accepts int or (kh, kw)."""
     if p is not None:
         return p
+    if isinstance(k, (tuple, list)):
+        return tuple(d * (kk - 1) // 2 for kk in k)
     return d * (k - 1) // 2
+
+
+def _pair(k):
+    return tuple(k) if isinstance(k, (tuple, list)) else (k, k)
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -59,13 +66,14 @@ class Initializer:
         self.state: Params = {}
         self._rng = np.random.RandomState(seed)
 
-    def conv(self, name: str, c_in: int, c_out: int, k: int, groups: int = 1,
+    def conv(self, name: str, c_in: int, c_out: int, k, groups: int = 1,
              bias: bool = False) -> None:
         """torch nn.Conv2d default init: kaiming_uniform(a=sqrt(5))."""
-        fan_in = (c_in // groups) * k * k
+        kh, kw = _pair(k)
+        fan_in = (c_in // groups) * kh * kw
         gain = math.sqrt(2.0 / (1 + 5.0))  # leaky_relu gain with a=sqrt(5)
         bound = gain * math.sqrt(3.0 / fan_in)
-        w = self._rng.uniform(-bound, bound, size=(k, k, c_in // groups, c_out))
+        w = self._rng.uniform(-bound, bound, size=(kh, kw, c_in // groups, c_out))
         self.params[name + ".weight"] = jnp.asarray(w, jnp.float32)
         if bias:
             b_bound = 1.0 / math.sqrt(fan_in)
@@ -108,14 +116,15 @@ class Ctx:
 
     # -- primitives ---------------------------------------------------------
 
-    def conv2d(self, name: str, x: jnp.ndarray, k: int, s: int = 1,
-               p: Optional[int] = None, g: int = 1, d: int = 1) -> jnp.ndarray:
+    def conv2d(self, name: str, x: jnp.ndarray, k, s=1,
+               p=None, g: int = 1, d: int = 1) -> jnp.ndarray:
         w = self.p[name + ".weight"].astype(x.dtype)
-        pad = autopad(k, p, d)
+        ph, pw = _pair(autopad(k, p, d))
+        sh, sw = _pair(s)
         y = jax.lax.conv_general_dilated(
             x, w,
-            window_strides=(s, s),
-            padding=((pad, pad), (pad, pad)),
+            window_strides=(sh, sw),
+            padding=((ph, ph), (pw, pw)),
             rhs_dilation=(d, d),
             feature_group_count=g,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
