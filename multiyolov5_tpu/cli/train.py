@@ -175,21 +175,30 @@ def train(opt):
         except Exception:
             tb = None
 
+    # det val loader is shape-stable across epochs — build once
+    val_loader = None
+    if data.get("val") and not opt.noval:
+        val_ds = DetectionDataset(data["val"], img_size=opt.img_size_test,
+                                  batch_size=bs, augment=False, rect=True,
+                                  stride=gs, pad=0.5, single_cls=opt.single_cls)
+        val_loader = DetectionLoader(val_ds, batch_size=bs, max_targets=300,
+                                     workers=opt.workers, drop_last=False)
+
     rng_key = jax.random.PRNGKey(opt.seed)
     print(f"Image sizes {imgsz} train; {nb} det batches/epoch; "
           f"starting training for {opt.epochs} epochs...")
     t0 = time.time()
     miou = 0.0
+    maps = np.zeros(nc)
     results = (0, 0, 0, 0, 0, 0, 0)
     for epoch in range(start_epoch, opt.epochs):
         if opt.image_weights:
-            maps_w = cw * (1 - np.asarray(results[3] if np.ndim(results[3]) else 0))
-            try:
-                from ..utils.general import labels_to_image_weights
-                iw = labels_to_image_weights(train_ds.labels, nc, cw)
-                train_loader.set_image_weights(iw)
-            except Exception:
-                pass
+            # per-class weights scaled by (1 - mAP) -> image resampling
+            # (reference train.py:303-316)
+            from ..utils.general import labels_to_image_weights
+            class_w = cw * (1 - maps) ** 2 / nc
+            iw = labels_to_image_weights(train_ds.labels, nc, class_w)
+            train_loader.set_image_weights(iw)
         mloss = np.zeros(4)
         msegloss = 0.0
         ni_base = nb * epoch
@@ -238,15 +247,8 @@ def train(opt):
                 epoch >= opt.epochs - opt.seg_eval_tail):
             _, miou = seg_validation(spec, eval_params, eval_state,
                                      segval_loader, nclass=spec.n_segcls or 1)
-        if data.get("val") and not opt.noval:
-            val_ds = DetectionDataset(data["val"], img_size=opt.img_size_test,
-                                      batch_size=bs, augment=False, rect=True,
-                                      stride=gs, pad=0.5,
-                                      single_cls=opt.single_cls)
-            val_loader = DetectionLoader(val_ds, batch_size=bs,
-                                         max_targets=300, workers=opt.workers,
-                                         drop_last=False)
-            results, _, _ = evaluate_detection(
+        if val_loader is not None:
+            results, maps, _ = evaluate_detection(
                 spec, eval_params, eval_state, val_loader, names=names,
                 conf_thres=0.001, iou_thres=0.6)
         fi = float(fitness2(np.array(results[:4]).reshape(1, -1), miou))

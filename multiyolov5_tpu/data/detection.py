@@ -546,8 +546,12 @@ class DetectionLoader:
             for bi in range(worker_id, len(batches), self.workers):
                 if stop.is_set():
                     return
-                items = [self.ds[i] for i in batches[bi]]
-                q.put((bi, self._collate(items)))
+                try:
+                    items = [self.ds[i] for i in batches[bi]]
+                    q.put((bi, self._collate(items)))
+                except Exception as e:  # propagate instead of hanging the
+                    q.put((bi, e))      # consumer (the reference's workers
+                    return              # died silently, README.md:157)
 
         threads = [threading.Thread(target=produce, args=(w,), daemon=True)
                    for w in range(self.workers)]
@@ -559,6 +563,8 @@ class DetectionLoader:
             got = 0
             while got < len(batches):
                 bi, batch = q.get()
+                if isinstance(batch, Exception):
+                    raise batch
                 pending[bi] = batch
                 while want in pending:
                     yield pending.pop(want)

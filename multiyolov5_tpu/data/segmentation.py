@@ -351,10 +351,14 @@ class SegLoader:
             for bi in range(wid, len(batches), self.workers):
                 if stop.is_set():
                     return
-                items = [self.ds[i] for i in batches[bi]]
-                imgs = np.stack([it[0] for it in items], 0)
-                masks = np.stack([np.asarray(it[1]) for it in items], 0)
-                q.put((bi, (imgs, masks)))
+                try:
+                    items = [self.ds[i] for i in batches[bi]]
+                    imgs = np.stack([it[0] for it in items], 0)
+                    masks = np.stack([np.asarray(it[1]) for it in items], 0)
+                    q.put((bi, (imgs, masks)))
+                except Exception as e:  # propagate, don't hang the consumer
+                    q.put((bi, e))
+                    return
 
         threads = [threading.Thread(target=produce, args=(w,), daemon=True)
                    for w in range(self.workers)]
@@ -364,6 +368,8 @@ class SegLoader:
             pending, want, got = {}, 0, 0
             while got < len(batches):
                 bi, batch = q.get()
+                if isinstance(batch, Exception):
+                    raise batch
                 pending[bi] = batch
                 while want in pending:
                     yield pending.pop(want)
