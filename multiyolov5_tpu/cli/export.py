@@ -16,10 +16,7 @@ strips the grid decode and exports per-level raw maps.
 from __future__ import annotations
 
 import argparse
-import os
 from pathlib import Path
-
-import numpy as np
 
 
 def export(opt):

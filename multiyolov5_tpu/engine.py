@@ -14,7 +14,6 @@ analog of cudnn.benchmark's same-size rule (reference detect.py:115-124).
 
 from __future__ import annotations
 
-import functools
 import json
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -23,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.config import ModelSpec, load_spec
-from .models import heads as H
 from .models.model import forward, init_model
 from .ops.nms import nms_batched
 from .ops.resize import resize_bilinear

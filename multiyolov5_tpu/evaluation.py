@@ -12,7 +12,6 @@ intersection/union accumulation.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

@@ -10,13 +10,12 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from .data.letterbox import letterbox
 from .engine import Engine
-from .models.model import Model
 from .utils.boxes import xyxy2xywh
 from .utils.general import increment_path
 

@@ -19,15 +19,13 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.nn import Ctx, Initializer, autopad
+from ..ops.nn import Ctx, Initializer
 from ..ops.resize import (
     adaptive_avg_pool,
     avg_pool,
     global_avg_pool,
     max_pool_same,
     resize_bilinear,
-    resize_nearest,
-    upsample_nearest,
 )
 
 # ---------------------------------------------------------------------------

@@ -17,9 +17,8 @@ Improvements over the reference kept deliberately:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Union
 
 from ..ops.nn import make_divisible
 
@@ -147,10 +146,9 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
             if m in _REPEAT_INSERT:
                 args.insert(2, n_scaled)
                 n_scaled = 1
-            s = args[3] if m == "Conv" and len(args) > 3 else (2 if m == "Focus" else 1)
-            if m == "Conv" and len(args) > 3 and args[3] == 2:
+            if m == "Focus":
                 stride_out *= 2
-            elif m == "Focus":
+            elif len(args) > 3 and args[3] == 2:  # stride-2 conv variants
                 stride_out *= 2
         elif m == "nn.BatchNorm2d":
             c1 = get_ch(fi)

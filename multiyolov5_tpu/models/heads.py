@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.nn import Ctx, Initializer
-from ..ops.resize import resize_bilinear, upsample_nearest
+from ..ops.resize import resize_bilinear
 from . import blocks as B
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ reference has no tensor/pipeline parallelism either, SURVEY.md §2.9).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

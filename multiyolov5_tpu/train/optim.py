@@ -17,7 +17,6 @@ import math
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,9 +16,8 @@ give SyncBN semantics (reference --sync-bn) without a wrapper.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
