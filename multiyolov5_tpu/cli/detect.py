@@ -44,7 +44,9 @@ def detect(opt):
         os.makedirs(sub_dir, exist_ok=True)
 
     set_logging()
-    w = weights[0] if isinstance(weights, list) else weights
+    # a list of weights builds an NMS ensemble (reference attempt_load)
+    w = weights if isinstance(weights, list) and len(weights) > 1 else (
+        weights[0] if isinstance(weights, list) else weights)
     engine = Engine(w, cfg=opt.cfg, half=not opt.no_half)
     imgsz = check_img_size(opt.img_size, engine.stride)
 

@@ -41,7 +41,9 @@ def run(opt):
             spec, params, state, loader, names=names,
             conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
             fused=eng.fused, single_cls=opt.single_cls,
-            plots=opt.plots, save_dir=opt.save_dir)
+            plots=opt.plots, save_dir=opt.save_dir,
+            save_txt=opt.save_txt, save_conf=opt.save_conf,
+            save_json=opt.save_json)
         results.update(P=mp, R=mr, mAP50=map50, mAP=map_)
 
     if not opt.det_only and data.get("segval") and spec.n_segcls:
@@ -87,6 +89,12 @@ def build_parser():
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--max-targets", type=int, default=300)
     p.add_argument("--plots", action="store_true")
+    p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true")
+    p.add_argument("--save-json", action="store_true",
+                   help="save COCO-format predictions.json")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="unsupported placeholder (reference autolabel mode)")
     p.add_argument("--save-dir", default=".")
     return p
 

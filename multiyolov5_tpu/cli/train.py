@@ -161,6 +161,9 @@ def train(opt):
 
     nbs = 64
     nw = max(round(hyp["warmup_epochs"] * nb), 800)
+    # cap warmup at half the run (reference has this as a commented-out
+    # guard, train.py:262 — without it tiny runs never leave warmup)
+    nw = min(nw, max((opt.epochs - start_epoch) * nb // 2, 1))
     sched = WarmupCosine(lr0=hyp["lr0"], lrf=hyp["lrf"], epochs=opt.epochs,
                          warmup_iters=nw, warmup_bias_lr=hyp["warmup_bias_lr"],
                          warmup_momentum=hyp["warmup_momentum"],

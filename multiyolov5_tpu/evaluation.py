@@ -12,6 +12,7 @@ intersection/union accumulation.
 from __future__ import annotations
 
 import time
+from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -55,7 +56,9 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
                        fused: bool = False, compute_dtype=None,
                        plots: bool = False, save_dir: str = ".",
                        verbose: bool = False, single_cls: bool = False,
-                       loss_hyp: Optional[Dict] = None):
+                       loss_hyp: Optional[Dict] = None,
+                       save_txt: bool = False, save_conf: bool = False,
+                       save_json: bool = False):
     """Returns ((P, R, mAP50, mAP, vbox, vobj, vcls), maps_per_class, times)."""
     import jax
     import jax.numpy as jnp
@@ -66,6 +69,11 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
     t_inf = t_nms = 0.0
     confusion = ConfusionMatrix(nc=spec.nc) if plots else None
     loss_items = np.zeros(3)
+
+    jdict: List[Dict] = []
+    txt_dir = Path(save_dir) / "labels"
+    if save_txt:
+        txt_dir.mkdir(parents=True, exist_ok=True)
 
     det_loss = None
     if loss_hyp is not None:
@@ -124,6 +132,28 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
                 (h0, w0), ratio_pad = shapes[si]
                 predn[:, :4] = np.asarray(scale_coords(
                     (h, w), predn[:, :4], (h0, w0), ratio_pad))[:, :4]
+            if save_txt and shapes[si] is not None:
+                from .utils.boxes import xyxy2xywh
+                (h0, w0), _ = shapes[si]
+                gn = np.array([w0, h0, w0, h0])
+                stem = Path(paths[si]).stem
+                with open(txt_dir / f"{stem}.txt", "a") as fh:
+                    for *xyxy, pconf, pcls in predn:
+                        xywh = (np.asarray(xyxy2xywh(np.array(xyxy)[None]))
+                                / gn).ravel()
+                        line = (pcls, *xywh, pconf) if save_conf else (pcls, *xywh)
+                        fh.write(("%g " * len(line)).rstrip() % line + "\n")
+            if save_json:  # pycocotools-style records (reference :300-330)
+                from .utils.boxes import xyxy2xywh
+                stem = Path(paths[si]).stem
+                image_id = int(stem) if stem.isnumeric() else stem
+                box = np.asarray(xyxy2xywh(predn[:, :4]))
+                box[:, :2] -= box[:, 2:] / 2  # center -> top-left
+                for p, b in zip(predn.tolist(), box.tolist()):
+                    jdict.append({"image_id": image_id,
+                                  "category_id": int(p[5]),
+                                  "bbox": [round(x, 3) for x in b],
+                                  "score": round(p[4], 5)})
             if len(l):
                 tbox = np.asarray(xywh2xyxy(l[:, 1:5])) * [w, h, w, h]
                 if shapes[si] is not None:
@@ -158,6 +188,12 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
     if confusion is not None:
         confusion.plot(save_dir=save_dir, names=names or [])
     loss_avg = loss_items / max(len(stats), 1)
+    if save_json and jdict:
+        import json as json_lib
+        pred_json = Path(save_dir) / "predictions.json"
+        with open(pred_json, "w") as fh:
+            json_lib.dump(jdict, fh)
+        print(f"saved {len(jdict)} COCO-format predictions to {pred_json}")
     print(f"Detection: {seen} images, {int(nt.sum())} labels | "
           f"P {mp:.4g} R {mr:.4g} mAP@.5 {map50:.4g} mAP@.5:.95 {map_:.4g}")
     return (mp, mr, map50, map_, *loss_avg.tolist()), maps, (t_inf, t_nms, seen)
