@@ -28,8 +28,9 @@ def main():
     warm = int(os.environ.get("BENCH_WARMUP", 5))
     iters = int(os.environ.get("BENCH_ITERS", 50))
     weights = os.environ.get("BENCH_WEIGHTS", "")
+    cfg = os.environ.get("BENCH_CFG", "yolov5s_city_seg")
 
-    eng = Engine(weights or None, cfg="yolov5s_city_seg", half=True)
+    eng = Engine(weights or None, cfg=cfg, half=True)
     in_hw = (512, 1024)           # 1024x512 input (reference README.md:13)
     orig_hw = (1024, 2048)        # native Cityscapes frame
     frame = np.random.randint(0, 255, (1, *in_hw, 3), np.uint8)
@@ -66,7 +67,8 @@ def main():
     fps = iters / dt
 
     print(json.dumps({
-        "metric": "pspv5s_e2e_fps_1024x512",
+        "metric": ("pspv5s" if cfg == "yolov5s_city_seg" else cfg)
+        + "_e2e_fps_1024x512",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 140.0, 3),
