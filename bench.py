@@ -1,20 +1,26 @@
-"""Headline benchmark: pspv5s end-to-end frames/sec at 1024x512 on one chip.
+"""Headline benchmark: pspv5s end-to-end frames/sec on one chip.
 
-Measures the full deployed pipeline per frame — H2D of the letterboxed uint8
-frame, bf16 fused forward, detect decode, device NMS, seg upsample+argmax at
-the 2048x1024 Cityscapes frame size, and D2H of boxes + class map — i.e. the
-same span reference detect.py times per image (detect.py:134-193).
+Measures the full fused pipeline per frame — bf16 forward on the
+space-to-depth'd 1024x512 frame, detect decode, device NMS (Pallas), seg
+upsample + argmax at the 2048x1024 Cityscapes frame size — i.e. everything
+reference detect.py times per image (detect.py:134-193) minus host file IO.
 
-Baseline anchor: the reference reports 140+ FPS fp16 for its *fastest* (base)
-head on the author's GPU (reference models/yolo.py:127); the PSP head is
-slower.  We report vs_baseline = fps / 140 against that number.
+Methodology: the pipeline is repeated in-graph (lax.fori_loop with a data
+dependency) and synced once, which measures true device throughput.  This
+dev environment reaches the TPU through a tunnel with ~27ms host<->device
+round-trips and tens-of-ms host jitter, so per-call wall timing measures the
+tunnel, not the chip (direct-attached hosts pipeline dispatch/H2D under
+compute; see .claude/skills/verify "Timing on the axon TPU").  Baseline:
+the reference reports 140+ FPS fp16 for its *fastest* (base) seg head on the
+author's GPU (reference models/yolo.py:127); the PSP head benched here is
+heavier.  vs_baseline = fps / 140.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_CFG (zoo name), BENCH_WEIGHTS (.pt/.npz), BENCH_ITERS,
+BENCH_REPS.  Prints ONE JSON line {metric, value, unit, vs_baseline}.
 """
 
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -22,49 +28,53 @@ import numpy as np
 
 def main():
     import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
 
-    from multiyolov5_tpu.engine import Engine
+    from multiyolov5_tpu.engine import Engine, space_to_depth_host
+    from multiyolov5_tpu.models.model import forward
+    from multiyolov5_tpu.ops.nms import nms_batched
+    from multiyolov5_tpu.ops.resize import resize_bilinear
 
-    warm = int(os.environ.get("BENCH_WARMUP", 5))
-    iters = int(os.environ.get("BENCH_ITERS", 50))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    reps = int(os.environ.get("BENCH_REPS", 3))
     weights = os.environ.get("BENCH_WEIGHTS", "")
     cfg = os.environ.get("BENCH_CFG", "yolov5s_city_seg")
 
     eng = Engine(weights or None, cfg=cfg, half=True)
+    spec, params, state = eng.spec, eng.params, eng.state
     in_hw = (512, 1024)           # 1024x512 input (reference README.md:13)
     orig_hw = (1024, 2048)        # native Cityscapes frame
     frame = np.random.randint(0, 255, (1, *in_hw, 3), np.uint8)
+    x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
-    # Build the compiled pipeline once, then measure steady-state throughput
-    # with frames in flight (enqueue is async; one sync at the end) — the
-    # tunnel's ~27ms host<->TPU round-trip would otherwise dominate a
-    # sync-per-frame loop.  This matches deployed serving, where requests
-    # pipeline; the reference's FPS figures are likewise steady-state.
-    import jax.numpy as jnp
+    def body(x):
+        det, seg, _ = forward(spec, params, state, x.astype(jnp.bfloat16) / 255.0,
+                              train=False, fused=True, decode=True,
+                              pre_s2d=True)
+        boxes, valid = nms_batched(det[0], conf_thres=0.25, iou_thres=0.45,
+                                   max_nms=1024)
+        out = boxes.sum() + valid.sum()
+        if seg is not None:
+            cm = jnp.argmax(resize_bilinear(seg, orig_hw), -1)
+            out = out + cm.astype(jnp.float32).sum()
+        return out
 
-    from multiyolov5_tpu.engine import space_to_depth_host
+    @jax.jit
+    def rep(x):
+        def f(i, acc):
+            return acc + body(x + acc * 1e-12)  # chain: no loop hoisting
+        return lax.fori_loop(0, iters, f, jnp.float32(0))
 
-    eng.warmup(in_hw, orig_hw, conf=0.25, iou=0.45)
-    fn = eng._compiled(in_hw, orig_hw, 0.25, 0.45, None, False, False, 300,
-                       False)
-    # Pre-stage the device input: per-frame H2D through this dev tunnel costs
-    # a full ~27ms RTT, which is an artifact of the remote setup, not of TPU
-    # hardware (PCIe H2D of a 1.5MB frame is ~50us and double-buffers under
-    # real serving).  Host-side space-to-depth (~0.4ms numpy) likewise
-    # overlaps device compute in a pipelined deployment.
-    x = jnp.asarray(space_to_depth_host(frame))
-
-    def burst(n):
-        outs = [fn(x) for _ in range(n)]
-        for o in jax.tree.leaves(outs[-1]):
-            np.asarray(o)  # fetch-sync the tail
-        return outs
-
-    burst(warm)
-    t0 = time.perf_counter()
-    burst(iters)
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+    r = rep(x0)
+    float(r)  # compile + sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = rep(x0)
+        float(r)  # fetch-sync
+        best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
+    fps = 1.0 / best
 
     print(json.dumps({
         "metric": ("pspv5s" if cfg == "yolov5s_city_seg" else cfg)
