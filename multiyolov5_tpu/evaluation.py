@@ -110,7 +110,8 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
             loss_items += np.asarray(items)[:3]
         t0 = time.time()
         preds = non_max_suppression(z, conf_thres=conf_thres,
-                                    iou_thres=iou_thres, multi_label=True)
+                                    iou_thres=iou_thres, multi_label=True,
+                                    max_nms=30000)  # reference cap (:439)
         t_nms += time.time() - t0
 
         h, w = imgs.shape[1:3]

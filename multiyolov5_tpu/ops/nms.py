@@ -48,14 +48,23 @@ def _nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
             scores = jnp.concatenate(
                 [scores, jnp.zeros((pad,), scores.dtype)], 0)
         return nms_pallas(boxes, scores, iou_thres, max_det)
-    iou = _box_iou(boxes, boxes)  # (N, N)
+
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
 
     def body(carry, _):
         active = carry
         i = jnp.argmax(jnp.where(active, scores, -jnp.inf))
         ok = active[i] & (scores[i] > 0)
-        # suppress everything overlapping the pick (including itself)
-        overlap = iou[i] > iou_thres
+        # IoU of the pick vs all boxes computed on the fly: O(N) memory, so
+        # large candidate caps (reference max_nms=30000) stay feasible
+        bi = boxes[i]
+        iw = jnp.clip(jnp.minimum(boxes[:, 2], bi[2])
+                      - jnp.maximum(boxes[:, 0], bi[0]), 0.0, None)
+        ih = jnp.clip(jnp.minimum(boxes[:, 3], bi[3])
+                      - jnp.maximum(boxes[:, 1], bi[1]), 0.0, None)
+        inter = iw * ih
+        iou_row = inter / (area + area[i] - inter + 1e-9)
+        overlap = iou_row > iou_thres
         active = active & jnp.where(ok, ~overlap, active)
         active = active.at[i].set(False)
         return active, (jnp.where(ok, i, -1), ok)
