@@ -121,6 +121,16 @@ def train(opt):
     seg_loader = seg_factory(**seg_kwargs)
     segval_loader = seg_factory(**segval_kwargs)
 
+    # label-distribution plot (reference train.py:217-218)
+    if not opt.nosave:
+        try:
+            from ..utils.plots import plot_labels
+            all_labels = np.concatenate(
+                [l for l in train_ds.labels if len(l)], 0)
+            plot_labels(all_labels, names, save_dir)
+        except Exception:
+            pass
+
     # autoanchor (reference train.py:224)
     if not opt.noautoanchor:
         from ..utils.autoanchor import check_anchors
@@ -225,6 +235,18 @@ def train(opt):
                 if sz != imgs.shape[1]:
                     imgs = np.stack([_cv2.resize(im, (sz, sz)) for im in imgs], 0)
             ni = i + ni_base
+            if ni < 3 and not opt.nosave:  # first-batch mosaics (reference
+                try:                        # train.py:413-415)
+                    from ..utils.plots import plot_images
+                    tt = tgts[tmask]
+                    flat = np.concatenate(
+                        [np.repeat(np.arange(len(imgs)), tmask.sum(1))[:, None],
+                         tt], 1) if tmask.any() else np.zeros((0, 6))
+                    plot_images(imgs.astype(np.float32), flat,
+                                fname=save_dir / f"train_batch{ni}.jpg",
+                                names=names)
+                except Exception:
+                    pass
             lr, lr_bias, mom = sched.at(ni, epoch)
             accumulate = sched.accumulate_at(ni, nbs, bs)
             do_update = (ni % accumulate) == 0
