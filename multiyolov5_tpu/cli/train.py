@@ -147,12 +147,18 @@ def train(opt):
     # labels for _initialize_biases cf; optional, skipped like reference)
     cw = labels_to_class_weights(train_ds.labels, nc)
 
+    # BiSe's training forward returns [main, aux16, aux32] — aux loss is
+    # structural, not optional (reference train.py:383-388 comments)
+    seg_aux = opt.seg_aux or (
+        spec.seg_index is not None
+        and spec.rows[spec.seg_index].module == "SegMaskBiSe")
+
     # Train state + step
     cfg = TrainConfig(
         hyp=hyp, epochs=opt.epochs, batch_size=bs,
         seg_batch_size=opt.seg_batch_size or bs,
         detgain=opt.detgain, seggain=opt.seggain,
-        seg_loss=opt.seg_loss, seg_aux=opt.seg_aux, adam=opt.adam,
+        seg_loss=opt.seg_loss, seg_aux=seg_aux, adam=opt.adam,
         max_targets=opt.max_targets,
         compute_dtype=jnp.bfloat16 if not opt.fp32 else jnp.float32,
         remat=opt.remat)
