@@ -101,13 +101,14 @@ def train(opt):
                                    workers=opt.workers, seed=opt.seed)
     nb = len(train_loader)
 
+    seg_enabled = bool(data.get("segtrain")) and spec.seg_index is not None
     seg_kind = opt.seg_data_kind
     seg_factory = {"citys": get_citys_loader, "citysbdd": get_citysbdd_loader,
                    "custom": get_custom_loader}[seg_kind]
-    seg_kwargs = dict(root=data["segtrain"], split="train", mode="train",
+    seg_kwargs = dict(root=data.get("segtrain"), split="train", mode="train",
                       batch_size=opt.seg_batch_size or bs,
                       workers=opt.workers, base_size=opt.base_size)
-    segval_kwargs = dict(root=data["segval"], split="val",
+    segval_kwargs = dict(root=data.get("segval"), split="val",
                          mode="val" if seg_kind == "citysbdd" else "testval",
                          batch_size=max(bs // 8, 1), workers=opt.workers,
                          base_size=opt.base_size)
@@ -118,8 +119,11 @@ def train(opt):
     else:
         seg_kwargs["crop_size"] = (imgsz, imgsz // 2)
         segval_kwargs["crop_size"] = (512, 512)
-    seg_loader = seg_factory(**seg_kwargs)
-    segval_loader = seg_factory(**segval_kwargs)
+    seg_loader = seg_factory(**seg_kwargs) if seg_enabled else None
+    segval_loader = seg_factory(**segval_kwargs) if seg_enabled else None
+    if not seg_enabled:
+        print("detection-only training (no segtrain in data yaml or no seg "
+              "head in the model)")
 
     # label-distribution plot (reference train.py:217-218)
     if not opt.nosave:
@@ -158,7 +162,8 @@ def train(opt):
         hyp=hyp, epochs=opt.epochs, batch_size=bs,
         seg_batch_size=opt.seg_batch_size or bs,
         detgain=opt.detgain, seggain=opt.seggain,
-        seg_loss=opt.seg_loss, seg_aux=seg_aux, adam=opt.adam,
+        seg_loss=opt.seg_loss, seg_enabled=seg_enabled, seg_aux=seg_aux,
+        adam=opt.adam,
         max_targets=opt.max_targets,
         compute_dtype=jnp.bfloat16 if not opt.fp32 else jnp.float32,
         remat=opt.remat)
@@ -221,14 +226,19 @@ def train(opt):
         mloss = np.zeros(4)
         msegloss = 0.0
         ni_base = nb * epoch
-        seg_iter = iter(seg_loader)
+        seg_iter = iter(seg_loader) if seg_enabled else None
+        dummy_seg = (np.zeros((2, 64, 64, 3), np.float32),
+                     np.full((2, 64, 64), -1, np.int64))
         for i, (imgs, tgts, tmask, paths, _) in enumerate(train_loader):
-            try:
-                seg_imgs, seg_masks = next(seg_iter)
-            except StopIteration:
-                seg_iter = iter(seg_loader)
-                seg_imgs, seg_masks = next(seg_iter)
-            if len(imgs) == 1 or len(seg_imgs) == 1:
+            if seg_enabled:
+                try:
+                    seg_imgs, seg_masks = next(seg_iter)
+                except StopIteration:
+                    seg_iter = iter(seg_loader)
+                    seg_imgs, seg_masks = next(seg_iter)
+            else:
+                seg_imgs, seg_masks = dummy_seg
+            if len(imgs) == 1 or (seg_enabled and len(seg_imgs) == 1):
                 continue  # reference train.py:338 BN/SE batch-1 guard
             if opt.multi_scale:
                 # bucketed multi-scale (reference train.py:354-361): random
@@ -274,8 +284,8 @@ def train(opt):
         # --- eval (reference train.py:430-453) ---
         eval_params = ts["ema_params"]
         eval_state = ts["ema_state"]
-        if (epoch % opt.seg_eval_interval == 0 or
-                epoch >= opt.epochs - opt.seg_eval_tail):
+        if seg_enabled and (epoch % opt.seg_eval_interval == 0 or
+                            epoch >= opt.epochs - opt.seg_eval_tail):
             _, miou = seg_validation(spec, eval_params, eval_state,
                                      segval_loader, nclass=spec.n_segcls or 1)
         if val_loader is not None:

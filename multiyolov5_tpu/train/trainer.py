@@ -41,6 +41,7 @@ class TrainConfig:
     detgain: float = 0.6               # reference train.py:290
     seggain: float = 0.35
     seg_loss: str = "ce"               # ce | ohem | focal
+    seg_enabled: bool = True           # False = detection-only training
     seg_aux: bool = False              # BiSe head -> True (aux_num=2)
     seg_aux_weight: float = 0.1
     adam: bool = False
@@ -113,6 +114,8 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
                                     rng=rng, decode=False)
         dloss, ditems = det_loss_fn(det_raw, det_tgts, det_mask)
         dloss = dloss * cfg.detgain
+        if not cfg.seg_enabled or spec.seg_index is None:
+            return dloss, ({**state, **new_state}, ditems, jnp.float32(0))
         # second forward: BN stats already advanced by det microbatch
         state2 = {**state, **new_state}
         xs = seg_imgs.astype(cfg.compute_dtype)  # already /255'd by loader
