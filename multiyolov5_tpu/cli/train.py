@@ -96,9 +96,13 @@ def train(opt):
                                 stride=gs, single_cls=opt.single_cls,
                                 cache_images=opt.cache_images,
                                 image_weights=opt.image_weights)
+    if opt.quad:
+        # collate_fn4 merges 4 images' labels into one item
+        opt.max_targets *= 4
     train_loader = DetectionLoader(train_ds, batch_size=bs,
                                    max_targets=opt.max_targets, shuffle=True,
-                                   workers=opt.workers, seed=opt.seed)
+                                   workers=opt.workers, seed=opt.seed,
+                                   quad=opt.quad)
     nb = len(train_loader)
 
     seg_enabled = bool(data.get("segtrain")) and spec.seg_index is not None
@@ -164,7 +168,7 @@ def train(opt):
         detgain=opt.detgain, seggain=opt.seggain,
         seg_loss=opt.seg_loss, seg_enabled=seg_enabled, seg_aux=seg_aux,
         adam=opt.adam,
-        max_targets=opt.max_targets,
+        max_targets=opt.max_targets, quad=opt.quad,
         compute_dtype=jnp.bfloat16 if not opt.fp32 else jnp.float32,
         remat=opt.remat)
     ts, groups = create_train_state(spec, cfg, seed=opt.seed, params=params,
@@ -292,7 +296,7 @@ def train(opt):
             results, maps, _ = evaluate_detection(
                 spec, eval_params, eval_state, val_loader, names=names,
                 conf_thres=0.001, iou_thres=0.6)
-        fi = float(fitness2(np.array(results[:4]).reshape(1, -1), miou))
+        fi = float(fitness2(np.array(results[:4]).reshape(1, -1), miou)[0])
         if tb is not None:
             import tensorflow as tf
             with tb.as_default():
@@ -429,6 +433,9 @@ def build_parser():
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--sync-bn", action="store_true",
                    help="no-op: global-batch BN is always on under DP")
+    p.add_argument("--quad", action="store_true",
+                   help="quad dataloader: fold 4 images into one 2x-res "
+                        "batch item (reference collate_fn4, loss x4)")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--project", default="runs/train")
     p.add_argument("--name", default="exp")

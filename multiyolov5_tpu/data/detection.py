@@ -505,10 +505,11 @@ class DetectionLoader:
     def __init__(self, dataset: DetectionDataset, batch_size: int,
                  max_targets: int = 128, shuffle: bool = False,
                  workers: int = 4, shard: int = 0, num_shards: int = 1,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0, quad: bool = False):
         self.ds = dataset
         self.bs = batch_size
         self.max_targets = max_targets
+        self.quad = quad
         self.shuffle = shuffle
         self.workers = max(1, workers)
         self.shard = shard
@@ -573,7 +574,42 @@ class DetectionLoader:
         finally:
             stop.set()
 
+    def _quad(self, items):
+        """collate_fn4 semantics (reference utils/datasets.py:601-625):
+        fold groups of 4 items into one 2x-resolution item — either one
+        image bilinearly upscaled 2x (p=0.5) or a 2x2 stitch of all four
+        with labels offset/halved.  Yields len(items)//4 items."""
+        out = []
+        # label columns here are [cls, x, y, w, h] (normalized, no image
+        # index — the batch dim is explicit); the reference's ho/wo offsets
+        # on columns 3/2 map to y/x = columns 2/1
+        ho = np.array([[0., 0, 1, 0, 0]], np.float32)   # below: y += 1
+        wo = np.array([[0., 1, 0, 0, 0]], np.float32)   # right: x += 1
+        s = np.array([[1, .5, .5, .5, .5]], np.float32)
+        for g in range(len(items) // 4):
+            i = g * 4
+            img, lbl, path, shapes = items[i]
+            h, w = img.shape[:2]
+            if random.random() < 0.5:
+                im = cv2.resize(img, (w * 2, h * 2),
+                                interpolation=cv2.INTER_LINEAR)
+                l = items[i][1]
+            else:
+                im = np.empty((h * 2, w * 2, img.shape[2]), img.dtype)
+                im[:h, :w] = img
+                im[h:, :w] = items[i + 1][0]
+                im[:h, w:] = items[i + 2][0]
+                im[h:, w:] = items[i + 3][0]
+                l = np.concatenate(
+                    [items[i][1], items[i + 1][1] + ho,
+                     items[i + 2][1] + wo, items[i + 3][1] + ho + wo],
+                    0) * s
+            out.append((im, l, path, shapes))
+        return out
+
     def _collate(self, items):
+        if self.quad:
+            items = self._quad(items)
         imgs = np.stack([it[0] for it in items], 0)
         B = len(items)
         targets = np.zeros((B, self.max_targets, 5), np.float32)

@@ -46,6 +46,7 @@ class TrainConfig:
     seg_aux_weight: float = 0.1
     adam: bool = False
     max_targets: int = 128             # padded targets per image
+    quad: bool = False                 # quad collate (reference train.py:368)
     compute_dtype: Any = jnp.bfloat16  # bf16 on TPU (no GradScaler needed)
     remat: bool = False                # jax.checkpoint the backbone
     class_weight: Optional[np.ndarray] = None
@@ -113,7 +114,7 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         det_raw, _, new_state = fwd(spec, params, state, x, train=True,
                                     rng=rng, decode=False)
         dloss, ditems = det_loss_fn(det_raw, det_tgts, det_mask)
-        dloss = dloss * cfg.detgain
+        dloss = dloss * cfg.detgain * (4.0 if cfg.quad else 1.0)
         if not cfg.seg_enabled or spec.seg_index is None:
             return dloss, ({**state, **new_state}, ditems, jnp.float32(0))
         # second forward: BN stats already advanced by det microbatch

@@ -191,6 +191,24 @@ def load_npz(path: str) -> Dict[str, Any]:
     return _unflatten(skel, arrays)
 
 
+def save_orbax(path: str, tree: Dict[str, Any]) -> None:
+    """Multi-host/sharded checkpointing via orbax (the npz format is
+    single-host).  Use for multi-host training where params are sharded —
+    orbax writes per-shard files and restores onto any mesh."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str, target=None) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target)
+
+
 def strip_optimizer(path: str, out_path: Optional[str] = None) -> None:
     """Native analog of reference utils/general.py:512-525: finalize a train
     checkpoint for inference — promote EMA to params, drop optimizer state."""

@@ -38,6 +38,49 @@ def test_detection_dataset_and_loader(tmp_path):
     assert n == len(loader)
 
 
+def test_quad_collate(monkeypatch):
+    """collate_fn4 semantics (reference utils/datasets.py:601-625): groups of
+    4 fold into one 2x-res item, by 2x2 stitch or 2x upsample."""
+    from multiyolov5_tpu.data import detection as det_mod
+    from multiyolov5_tpu.data.detection import DetectionLoader
+
+    class StubDS:
+        def __init__(self):
+            self.items = []
+            for i in range(8):
+                img = np.full((32, 32, 3), i * 10, np.uint8)
+                lbl = np.array([[float(i % 3), .5, .5, .25, .25]], np.float32)
+                self.items.append((img, lbl, f"im{i}.jpg", None))
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    loader = DetectionLoader(StubDS(), batch_size=8, max_targets=16,
+                             shuffle=False, workers=1, quad=True)
+
+    # stitch branch
+    monkeypatch.setattr(det_mod.random, "random", lambda: 0.9)
+    (imgs, tgts, mask, paths, shapes), = list(loader)
+    assert imgs.shape == (2, 64, 64, 3)
+    assert imgs[0, 0, 0, 0] == 0 and imgs[0, 40, 0, 0] == 10      # below
+    assert imgs[0, 0, 40, 0] == 20 and imgs[0, 40, 40, 0] == 30   # right
+    got = tgts[0][mask[0]]
+    assert got.shape == (4, 5)
+    # item0 center (.5,.5) -> (.25,.25); item3 (below+right) -> (.75,.75)
+    np.testing.assert_allclose(got[0], [0, .25, .25, .125, .125])
+    np.testing.assert_allclose(got[3], [0, .75, .75, .125, .125])
+
+    # upsample branch: labels unchanged (normalized), image doubled
+    monkeypatch.setattr(det_mod.random, "random", lambda: 0.1)
+    (imgs, tgts, mask, paths, shapes), = list(loader)
+    assert imgs.shape == (2, 64, 64, 3)
+    assert (imgs[0] == 0).all() and (imgs[1] == 40).all()
+    np.testing.assert_allclose(tgts[0][mask[0]][0], [0, .5, .5, .25, .25])
+
+
 def test_detection_rect_eval_mode():
     from multiyolov5_tpu.data.detection import DetectionDataset
 

@@ -82,3 +82,18 @@ def test_engine_pt_npz_agree(pt_file, tmp_path):
 
     np.testing.assert_allclose(d1[0], d2[0], rtol=1e-4, atol=1e-3)
     np.testing.assert_array_equal(m1[0], m2[0])
+
+
+def test_orbax_roundtrip(tmp_path):
+    """save_orbax/load_orbax: the multi-host/sharded-ckpt path (the npz
+    format is single-host-only)."""
+    from multiyolov5_tpu.utils import checkpoint as ck
+
+    tree = {"params": {"w": np.arange(12, dtype=np.float32).reshape(3, 4),
+                       "b": np.zeros((4,), np.float32)},
+            "step": np.asarray(7, np.int64)}
+    path = str(tmp_path / "ock")
+    ck.save_orbax(path, tree)
+    out = ck.load_orbax(path, target=tree)
+    np.testing.assert_array_equal(out["params"]["w"], tree["params"]["w"])
+    assert int(out["step"]) == 7
