@@ -9,7 +9,8 @@ Usage:
 
 from multiyolov5_tpu.hub import (  # noqa: F401
     AutoShape, Detections, create, custom,
-    yolov5l, yolov5m, yolov5m_city_seg, yolov5s, yolov5s_city_seg, yolov5x)
+    yolov5l, yolov5l6, yolov5m, yolov5m6, yolov5m_city_seg,
+    yolov5s, yolov5s6, yolov5s_city_seg, yolov5x, yolov5x6)
 
 dependencies = ["jax", "numpy"]
 

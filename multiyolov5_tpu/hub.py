@@ -48,6 +48,10 @@ yolov5s = _factory("yolov5s")
 yolov5m = _factory("yolov5m")
 yolov5l = _factory("yolov5l")
 yolov5x = _factory("yolov5x")
+yolov5s6 = _factory("yolov5s6")
+yolov5m6 = _factory("yolov5m6")
+yolov5l6 = _factory("yolov5l6")
+yolov5x6 = _factory("yolov5x6")
 yolov5s_city_seg = _factory("yolov5s_city_seg")
 yolov5m_city_seg = _factory("yolov5m_city_seg")
 

@@ -154,3 +154,25 @@ def test_seg_head_variants_parity(ref_modules):
         np.testing.assert_allclose(np.asarray(seg),
                                    np.transpose(tseg.numpy(), (0, 2, 3, 1)),
                                    rtol=1e-3, atol=5e-4, err_msg=name)
+
+
+def test_zoo_p6_matches_reference_yaml():
+    """Built-in yolov5{s,m,l,x}6 zoo entries produce the identical param
+    tree as the reference models/hub/*6.yaml configs (4-level P6 Detect)."""
+    import numpy as np
+    from multiyolov5_tpu.models.config import load_spec
+    from multiyolov5_tpu.models.model import init_model
+
+    for size in "smlx":
+        name = f"yolov5{size}6"
+        ref_yaml = os.path.join(REF, "models", "hub", f"{name}.yaml")
+        if not os.path.exists(ref_yaml):
+            continue
+        s1, s2 = load_spec(name), load_spec(ref_yaml)
+        p1, _ = init_model(s1, 0)
+        p2, _ = init_model(s2, 0)
+        assert {k: v.shape for k, v in p1.items()} == \
+               {k: v.shape for k, v in p2.items()}
+        assert s1.nl == 4 and list(s1.strides) == [8, 16, 32, 64]
+        assert np.allclose(np.asarray(s1.anchors, np.float32),
+                           np.asarray(s2.anchors, np.float32))
