@@ -49,3 +49,14 @@ def test_batched_call(eng):
     img = np.zeros((2, 128, 256, 3), np.uint8)
     dets, masks = eng(img, (256, 512))
     assert len(dets) == 2 and len(masks) == 2
+
+
+def test_p6_engine():
+    """4-level P6 family through the full pipeline (decode at stride 64 +
+    NMS); zoo entry is exact vs reference models/hub/yolov5s6.yaml."""
+    e = Engine(None, cfg="yolov5s6", half=False)
+    assert e.spec.nl == 4 and e.spec.strides[-1] == 64
+    img = (np.random.RandomState(1).rand(1, 128, 256, 3) * 255).astype(np.uint8)
+    dets, masks = e(img, (128, 256), conf=0.001)
+    assert dets[0].shape[1] == 6
+    assert masks[0] is None  # detection-only config
