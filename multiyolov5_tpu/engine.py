@@ -190,7 +190,12 @@ class Engine:
             cls_map = None
             if seg is not None:
                 # bf16 logits resize on the fast MXU path (resize_bilinear
-                # keeps fp32 exactness automatically when logits are fp32)
+                # keeps fp32 exactness automatically when logits are fp32).
+                # NOTE: ops/resize.resize2x_argmax (fused phase-blend+argmax,
+                # 2x faster standalone) was A/B'd here and LOST in-pipeline
+                # (1.66 vs 1.56 ms/frame) — inside the full graph XLA already
+                # overlaps the banded matmuls, while the phase path's
+                # stack/reshape interleaves add layout copies.
                 segf = resize_bilinear(seg, orig_hw, align_corners=True)
                 cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)
             return boxes, valid, cls_map

@@ -29,6 +29,7 @@ _EXACT = jax.lax.Precision.HIGHEST
 __all__ = [
     "bilinear_matrix",
     "resize_bilinear",
+    "resize2x_argmax",
     "upsample_nearest",
     "adaptive_avg_pool",
     "global_avg_pool",
@@ -175,6 +176,51 @@ def resize_bilinear(x: jnp.ndarray, out_hw, align_corners: bool = True) -> jnp.n
             xf = jnp.einsum("ow,bhwc->bhoc", mw, xf, precision=prec,
                             preferred_element_type=jnp.float32)
     return xf.astype(dt)
+
+
+def _phase_blend(x: jnp.ndarray, axis: int, align_corners: bool):
+    """Even/odd-phase 2-tap blends for exact 2x upsampling along ``axis``
+    (same weights as the interpolation matmul; see _up2x_phase_weights)."""
+    n = x.shape[axis]
+    w_e0, w_e1, w_o0, w_o1 = _up2x_phase_weights(n, align_corners)
+    shape = [1] * x.ndim
+    shape[axis] = n
+    we0 = jnp.asarray(w_e0).reshape(shape).astype(x.dtype)
+    we1 = jnp.asarray(w_e1).reshape(shape).astype(x.dtype)
+    wo0 = jnp.asarray(w_o0).reshape(shape).astype(x.dtype)
+    wo1 = jnp.asarray(w_o1).reshape(shape).astype(x.dtype)
+    xm1 = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                           jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis)
+    xp1 = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis),
+                           jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis)
+    return we0 * xm1 + we1 * x, wo0 * x + wo1 * xp1
+
+
+def resize2x_argmax(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+    """``argmax_c(resize_bilinear(x, (2H, 2W)))`` without materializing the
+    upsampled logits (the detect.py:191-193 mask path at Cityscapes sizes
+    would materialize 2048x1024x19 — 19x more HBM traffic than needed).
+
+    Phase-decompose both axes into even/odd 2-tap blends, argmax each of the
+    four phase maps over C (XLA fuses the elementwise blends into the
+    reduce, so the full-res logits never hit HBM), then interleave the four
+    small integer index maps.
+
+    Status: 2x faster than argmax(resize_bilinear()) as a standalone op
+    (0.77 vs 1.42 ms at 1024x512x19 bf16), but A/B'd INSIDE the full detect
+    pipeline it LOSES (1.66 vs 1.56 ms/frame) — in the larger graph XLA
+    already overlaps the banded matmuls while this path's stack/reshape
+    interleaves add layout copies.  Kept (with exactness tests) for
+    standalone mask workloads; the engine/eval paths use the matmul form."""
+    b, h, w, c = x.shape
+    he, ho = _phase_blend(x, 1, align_corners)
+    ee, eo = _phase_blend(he, 2, align_corners)
+    oe, oo = _phase_blend(ho, 2, align_corners)
+    row_e = jnp.stack([jnp.argmax(ee, -1), jnp.argmax(eo, -1)], -1)
+    row_o = jnp.stack([jnp.argmax(oe, -1), jnp.argmax(oo, -1)], -1)
+    out = jnp.stack([row_e.reshape(b, h, 2 * w),
+                     row_o.reshape(b, h, 2 * w)], 2)
+    return out.reshape(b, 2 * h, 2 * w)
 
 
 def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
