@@ -510,6 +510,16 @@ class DetectionLoader:
         self.bs = batch_size
         self.max_targets = max_targets
         self.quad = quad
+        if quad and batch_size % 4:
+            raise ValueError("quad=True requires batch_size divisible by 4")
+        # rect mode letterboxes each image to its aspect-ratio bin's shape
+        # (batch_shapes[ds.batch[i]]): batches must follow the dataset's
+        # contiguous ar-sorted binning or np.stack gets mixed shapes.  The
+        # reference never shuffles its DataLoader either (datasets.py:78-85
+        # passes no shuffle; train-time randomness comes from mosaic).
+        self.rect = bool(getattr(dataset, "rect", False))
+        if self.rect and shuffle:
+            shuffle = False
         self.shuffle = shuffle
         self.workers = max(1, workers)
         self.shard = shard
@@ -518,16 +528,29 @@ class DetectionLoader:
         self.epoch = 0
         self.seed = seed
 
-    def __len__(self):
-        n = len(self.ds) // self.num_shards
-        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
-
-    def _epoch_indices(self):
-        idx = np.arange(len(self.ds))
+    def _plan(self):
+        """Per-epoch batch plan: list of index arrays, shard-local."""
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.rect:
+            # keep the dataset's bins intact (ds.batch maps index -> bin);
+            # shard whole batches
+            bins = np.asarray(self.ds.batch)
+            nb = int(bins[-1]) + 1 if n else 0
+            batches = [idx[bins == b] for b in range(nb)]
+            if self.drop_last and nb > 1 and len(batches[-1]) < len(batches[0]):
+                batches = batches[:-1]
+            return batches[self.shard::self.num_shards]
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        return idx[self.shard::self.num_shards]
+        idx = idx[self.shard::self.num_shards]
+        nb = (len(idx) // self.bs if self.drop_last
+              else math.ceil(len(idx) / self.bs))
+        return [idx[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
+
+    def __len__(self):
+        return len(self._plan())
 
     def set_image_weights(self, weights: np.ndarray):
         """reference train.py:303-316 image-weighted resampling."""
@@ -536,41 +559,43 @@ class DetectionLoader:
         self.ds.indices = list(rng.choice(n, size=n, p=weights / weights.sum()))
 
     def __iter__(self):
-        idx = self._epoch_indices()
+        batches = self._plan()
         self.epoch += 1
-        nb = len(idx) // self.bs if self.drop_last else math.ceil(len(idx) / self.bs)
-        batches = [idx[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.workers * 2)
+        # Batches are assigned round-robin (worker w owns batches w, w+W, …)
+        # and each worker has its own small bounded queue, so the consumer
+        # reads batch k from queue k%W — ordered by construction, with real
+        # backpressure (a slow worker can't let the others run ahead
+        # unbounded).  Producers use timeout-put so abandoning the iterator
+        # mid-epoch can't leave threads blocked forever.
+        W = min(self.workers, max(1, len(batches)))
+        qs = [queue_mod.Queue(maxsize=2) for _ in range(W)]
         stop = threading.Event()
 
-        def produce(worker_id):
-            for bi in range(worker_id, len(batches), self.workers):
-                if stop.is_set():
+        def produce(w):
+            for bi in range(w, len(batches), W):
+                try:  # propagate errors instead of hanging the consumer
+                    payload = self._collate([self.ds[i] for i in batches[bi]])
+                except Exception as e:  # (the reference's workers died
+                    payload = e         # silently, README.md:157)
+                while not stop.is_set():
+                    try:
+                        qs[w].put(payload, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set() or isinstance(payload, Exception):
                     return
-                try:
-                    items = [self.ds[i] for i in batches[bi]]
-                    q.put((bi, self._collate(items)))
-                except Exception as e:  # propagate instead of hanging the
-                    q.put((bi, e))      # consumer (the reference's workers
-                    return              # died silently, README.md:157)
 
         threads = [threading.Thread(target=produce, args=(w,), daemon=True)
-                   for w in range(self.workers)]
+                   for w in range(W)]
         for t in threads:
             t.start()
         try:
-            pending = {}
-            want = 0
-            got = 0
-            while got < len(batches):
-                bi, batch = q.get()
+            for k in range(len(batches)):
+                batch = qs[k % W].get()
                 if isinstance(batch, Exception):
                     raise batch
-                pending[bi] = batch
-                while want in pending:
-                    yield pending.pop(want)
-                    want += 1
-                    got += 1
+                yield batch
         finally:
             stop.set()
 
@@ -579,6 +604,8 @@ class DetectionLoader:
         fold groups of 4 items into one 2x-resolution item — either one
         image bilinearly upscaled 2x (p=0.5) or a 2x2 stitch of all four
         with labels offset/halved.  Yields len(items)//4 items."""
+        if len(items) < 4:  # ragged drop_last=False tail (bs%4==0 is
+            return items    # enforced at init): pass through un-folded
         out = []
         # label columns here are [cls, x, y, w, h] (normalized, no image
         # index — the batch dim is explicit); the reference's ho/wo offsets

@@ -74,16 +74,6 @@ def _nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
     return idx, valid
 
 
-def _box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
-    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
-    rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
-    wh = jnp.clip(rb - lt, 0.0, None)
-    inter = wh[..., 0] * wh[..., 1]
-    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-9)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic",
@@ -109,10 +99,12 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
     def per_image(p):
         obj = p[:, 4]
         cls_conf = p[:, 5:] * obj[:, None]          # (N, nc)
-        if class_mask is not None:
-            cls_conf = cls_conf * class_mask[None, :]
         box = xywh2xyxy(p[:, :4])                    # (N, 4)
         if multi_label:
+            # per-(box, class) rows: masking before the threshold is
+            # equivalent to the reference's post-hoc class filter
+            if class_mask is not None:
+                cls_conf = cls_conf * class_mask[None, :]
             flat = jnp.where(cls_conf > conf_thres, cls_conf, 0.0).reshape(-1)
             k = min(max_nms, flat.shape[0])
             scores, flat_idx = jax.lax.top_k(flat, k)
@@ -120,12 +112,19 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
             ci = (flat_idx % nc).astype(jnp.float32)
             cand_box = box[bi]
         else:
+            # reference utils/general.py:467-473: argmax over ALL classes
+            # first, THEN drop boxes whose best class isn't allowed — masking
+            # before the argmax would wrongly re-assign the box to its best
+            # allowed class
             conf = jnp.max(cls_conf, axis=1)
-            ci_all = jnp.argmax(cls_conf, axis=1).astype(jnp.float32)
-            conf = jnp.where((obj > conf_thres) & (conf > conf_thres), conf, 0.0)
+            ci_all = jnp.argmax(cls_conf, axis=1)
+            keep = (obj > conf_thres) & (conf > conf_thres)
+            if class_mask is not None:
+                keep = keep & (class_mask[ci_all] > 0)
+            conf = jnp.where(keep, conf, 0.0)
             k = min(max_nms, n)
             scores, bi = jax.lax.top_k(conf, k)
-            ci = ci_all[bi]
+            ci = ci_all[bi].astype(jnp.float32)
             cand_box = box[bi]
         offset = jnp.where(agnostic, 0.0, ci * MAX_WH)
         idx, valid = _nms_fixed(cand_box + offset[:, None], scores, iou_thres, max_det)

@@ -71,15 +71,22 @@ class DetectionLoss:
         self.cp, self.cn = smooth_bce(self.hyp.get("label_smoothing", 0.0))
         if len(self.anchors) != 3:
             self.balance = [4.0, 1.0, 0.25, 0.06, 0.02][: len(self.anchors)]
+        # autobalance renormalization index (reference: stride-16 level)
+        strides = list(self.strides)
+        self.ssi = strides.index(16) if (self.autobalance and 16 in strides) else 0
 
     def __call__(self, preds: List[jnp.ndarray], targets: jnp.ndarray,
-                 tmask: jnp.ndarray):
+                 tmask: jnp.ndarray, balance: Optional[jnp.ndarray] = None):
         """
         Args:
           preds: per-level raw maps (B, na, ny, nx, 5+nc).
           targets: (B, T, 5) [cls, x, y, w, h] normalized 0..1 (padded).
           tmask: (B, T) bool validity.
-        Returns (loss_total*B, items (lbox, lobj, lcls, loss)).
+          balance: optional (nl,) per-level obj weights carried as training
+            state for autobalance (reference utils/loss.py:156-161 mutates
+            self.balance in place; functionally it's state in, state out).
+        Returns (loss_total*B, items (lbox, lobj, lcls, loss)), plus the
+        updated balance array when ``balance`` is given.
         """
         B, T = targets.shape[:2]
         na = self.na
@@ -88,6 +95,7 @@ class DetectionLoss:
         lcls = jnp.zeros((), jnp.float32)
         lbox = jnp.zeros((), jnp.float32)
         lobj = jnp.zeros((), jnp.float32)
+        obj_per_level = []
 
         # flatten batch: tgt (B*T, 6) = [img, cls, x, y, w, h]
         img_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T)).reshape(-1)
@@ -156,7 +164,10 @@ class DetectionLoss:
             if fl_g > 0:
                 obj_loss = _focal_wrap(obj_loss, pi[..., 4].astype(jnp.float32),
                                        tobj, fl_g)
-            lobj += jnp.mean(obj_loss) * self.balance[i]
+            obji = jnp.mean(obj_loss)
+            obj_per_level.append(obji)
+            lobj += obji * (balance[i] if balance is not None
+                            else self.balance[i])
 
             if self.nc > 1:
                 tcls = t_flat[:, 0].astype(jnp.int32)          # (N,)
@@ -175,6 +186,13 @@ class DetectionLoss:
         lcls = lcls * hyp["cls"]
         loss = lbox + lobj + lcls
         items = jax.lax.stop_gradient(jnp.stack([lbox, lobj, lcls, loss]))
+        if balance is not None:
+            # reference utils/loss.py:158-161: EMA toward 1e-4/obji, then
+            # renormalize by the stride-16 level
+            obji = jax.lax.stop_gradient(jnp.stack(obj_per_level))
+            new_bal = balance * 0.9999 + 0.0001 / obji
+            new_bal = new_bal / new_bal[self.ssi]
+            return loss * B, items, new_bal
         return loss * B, items
 
 

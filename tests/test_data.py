@@ -147,3 +147,79 @@ def test_long_size_sampler_statistics():
     assert min(vals) >= int(1024 * 0.65) // 32 * 32
     # mode should sit near base_size - 4*32
     assert 600 < np.median(vals) < 1400
+
+
+def test_loader_shard_len_matches_yield():
+    """__len__ must equal the number of batches actually yielded per shard
+    (warmup/LR schedules key off it)."""
+    from multiyolov5_tpu.data.detection import DetectionLoader
+
+    class StubDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            img = np.zeros((8, 8, 3), np.uint8)
+            return img, np.zeros((0, 5), np.float32), f"{i}.jpg", None
+
+    for shard in range(3):
+        ld = DetectionLoader(StubDS(), batch_size=1, max_targets=4,
+                             workers=2, shard=shard, num_shards=3)
+        assert len(list(ld)) == len(ld), shard
+
+
+def test_loader_quad_batch_size_guard():
+    from multiyolov5_tpu.data.detection import DetectionLoader
+
+    class StubDS:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise AssertionError
+
+    with pytest.raises(ValueError):
+        DetectionLoader(StubDS(), batch_size=6, quad=True)
+
+
+def test_loader_early_abandon_no_thread_leak():
+    """Breaking out of iteration mid-epoch must unblock producer threads
+    (bounded queues + timeout-put)."""
+    import threading
+    import time as _time
+    from multiyolov5_tpu.data.detection import DetectionLoader
+
+    class StubDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            img = np.zeros((8, 8, 3), np.uint8)
+            return img, np.zeros((0, 5), np.float32), f"{i}.jpg", None
+
+    before = threading.active_count()
+    ld = DetectionLoader(StubDS(), batch_size=2, max_targets=4, workers=4)
+    it = iter(ld)
+    next(it)
+    it.close()  # abandon mid-epoch (generator finally -> stop.set())
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_loader_rect_keeps_bins(tmp_path):
+    """rect mode: batches follow the dataset's aspect-ratio bins even with
+    shuffle requested (mixed letterbox shapes would crash np.stack)."""
+    from multiyolov5_tpu.data.detection import DetectionDataset, DetectionLoader
+
+    ds = DetectionDataset(os.path.join(CUSTOM, "detdata/images/train"),
+                          img_size=320, batch_size=4, augment=False, rect=True,
+                          pad=0.5)
+    ld = DetectionLoader(ds, batch_size=4, max_targets=32, shuffle=True,
+                         workers=2, drop_last=False)
+    n = 0
+    for imgs, *_ in ld:
+        assert imgs.ndim == 4  # np.stack succeeded -> uniform shapes
+        n += 1
+    assert n == len(ld) > 0

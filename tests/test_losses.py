@@ -192,3 +192,58 @@ def test_ohem_matches_torch_reference_semantics(rng):
         loss_hard, _ = loss.topk(n_min)
     want = float(loss_hard.mean())
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_autobalance_updates_balance(rng):
+    """autobalance: balance EMA toward 1e-4/obji, renormalized by the
+    stride-16 level (reference utils/loss.py:156-161)."""
+    import jax.numpy as jnp
+    from multiyolov5_tpu.train.losses import DetectionLoss, pad_targets
+
+    anchors = np.array([[[10, 13], [16, 30], [33, 23]],
+                        [[30, 61], [62, 45], [59, 119]],
+                        [[116, 90], [156, 198], [373, 326]]], np.float32)
+    anchors = anchors / np.array([8, 16, 32], np.float32)[:, None, None]
+    hyp = {"box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0,
+           "anchor_t": 4.0, "fl_gamma": 0.0, "label_smoothing": 0.0}
+    loss_fn = DetectionLoss(nc=3, na=3, anchors=anchors, strides=[8, 16, 32],
+                            hyp=hyp, autobalance=True)
+    assert loss_fn.ssi == 1  # stride-16 level
+    preds = [jnp.asarray(rng.randn(2, 3, 80 // s, 80 // s, 8).astype(np.float32))
+             for s in (8, 16, 32)]
+    tgts, mask = pad_targets(
+        [np.array([[1, .5, .5, .2, .2]], np.float32)] * 2, 8)
+    bal0 = jnp.asarray([4.0, 1.0, 0.4])
+    loss, items, bal1 = loss_fn(preds, jnp.asarray(tgts), jnp.asarray(mask),
+                                balance=bal0)
+    bal1 = np.asarray(bal1)
+    assert bal1.shape == (3,) and np.isfinite(bal1).all()
+    assert np.isclose(bal1[1], 1.0)          # renormalized at ssi
+    assert not np.allclose(bal1, np.asarray(bal0))  # actually updated
+    # without balance: two-tuple return, same loss value at the default
+    loss2, items2 = loss_fn(preds, jnp.asarray(tgts), jnp.asarray(mask))
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-6)
+
+
+def test_qfocal_wrap_matches_torch(rng):
+    """_qfocal_wrap == reference QFocalLoss modulation (utils/loss.py:63-86;
+    defined there but never instantiated — kept available here the same way)."""
+    import jax.numpy as jnp
+    import torch
+    from multiyolov5_tpu.train.losses import _bce_logits, _qfocal_wrap
+
+    logits = rng.randn(64).astype(np.float32)
+    targets = (rng.rand(64) > 0.5).astype(np.float32)
+    base = _bce_logits(jnp.asarray(logits), jnp.asarray(targets), 1.0)
+    got = np.asarray(_qfocal_wrap(base, jnp.asarray(logits),
+                                  jnp.asarray(targets), 1.5)).mean()
+
+    lt, tt = torch.tensor(logits), torch.tensor(targets)
+    ce = torch.nn.functional.binary_cross_entropy_with_logits(
+        lt, tt, reduction="none")
+    pred_prob = torch.sigmoid(lt)
+    alpha, gamma = 0.25, 1.5
+    alpha_factor = tt * alpha + (1 - tt) * (1 - alpha)
+    modulating = torch.abs(tt - pred_prob) ** gamma
+    want = (ce * alpha_factor * modulating).mean().item()
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -104,3 +104,20 @@ def test_agnostic_vs_batched(rng):
     pred[0, 1, 6] = 0.8
     assert len(non_max_suppression(pred, 0.25, 0.45)[0]) == 2
     assert len(non_max_suppression(pred, 0.25, 0.45, agnostic=True)[0]) == 1
+
+
+def test_classes_filter_drops_box_not_reassigns():
+    """reference utils/general.py:467-473: single-label mode picks the best
+    class FIRST, then drops disallowed boxes — a box whose best class is
+    filtered out must vanish, not be re-emitted as its best allowed class."""
+    pred = np.zeros((1, 1, 7), np.float32)   # nc=2
+    pred[0, 0, :4] = [100, 100, 50, 50]
+    pred[0, 0, 4] = 1.0       # obj
+    pred[0, 0, 5] = 0.9       # class 0 (best)
+    pred[0, 0, 6] = 0.3       # class 1 (allowed, above thres)
+    out = non_max_suppression(pred, conf_thres=0.25, classes=[1])[0]
+    assert out.shape[0] == 0  # NOT a class-1 detection at conf 0.3
+    # multi-label mode: the class-1 row stands on its own (reference :468)
+    out = non_max_suppression(pred, conf_thres=0.25, classes=[1],
+                              multi_label=True)[0]
+    assert out.shape[0] == 1 and int(out[0, 5]) == 1
