@@ -41,6 +41,7 @@ def run(opt):
             spec, params, state, loader, names=names,
             conf_thres=opt.conf_thres, iou_thres=opt.iou_thres,
             fused=eng.fused, single_cls=opt.single_cls,
+            verbose=opt.verbose,
             plots=opt.plots, save_dir=opt.save_dir,
             save_txt=opt.save_txt, save_conf=opt.save_conf,
             save_json=opt.save_json)

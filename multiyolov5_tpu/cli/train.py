@@ -72,6 +72,7 @@ def train(opt):
     # pretrained init (reference train.py:93-95 intersect_dicts)
     start_epoch, best_fitness = 0, 0.0
     resume_opt_state = None
+    resume_tree = None
     if opt.weights and os.path.exists(opt.weights):
         if opt.weights.endswith(".pt"):
             p_new, s_new, _ = ckpt_lib.load_pt(opt.weights)
@@ -82,6 +83,7 @@ def train(opt):
                 start_epoch = int(tree.get("epoch", -1)) + 1
                 best_fitness = float(tree.get("best_fitness", 0.0))
                 resume_opt_state = tree.get("opt")
+                resume_tree = tree
         params, n1 = ckpt_lib.intersect_load(params, p_new)
         state, n2 = ckpt_lib.intersect_load(state, s_new)
         print(f"transferred {n1}+{n2} items from {opt.weights}")
@@ -175,6 +177,17 @@ def train(opt):
                                     state=state)
     if resume_opt_state is not None:
         ts["opt"] = resume_opt_state
+    if resume_tree is not None:
+        # restore EMA buffers + update counter so the EMA decay ramp
+        # (0.9999*(1-e^(-t/2000))) doesn't restart (reference ModelEMA
+        # restores `updates` from the ckpt, torch_utils.py:281)
+        for k_src, k_dst in (("ema_params", "ema_params"),
+                             ("ema_state", "ema_state")):
+            if resume_tree.get(k_src):
+                ts[k_dst], _ = ckpt_lib.intersect_load(ts[k_dst],
+                                                       resume_tree[k_src])
+        if resume_tree.get("updates") is not None:
+            ts["updates"] = jnp.asarray(int(resume_tree["updates"]), jnp.int32)
     n_dev = len(jax.devices())
     mesh = None
     if n_dev > 1 and bs % n_dev == 0:

@@ -106,8 +106,12 @@ class Engine:
             return spec, params, state
         if isinstance(weights, str):  # native npz
             tree = ckpt_lib.load_npz(weights)
-            params = tree.get("ema_params") or tree["params"]
-            state = tree["state"]
+            ema = tree.get("ema_params")
+            params = ema or tree["params"]
+            # EMA params must pair with EMA BN stats — fusing EMA gamma/beta
+            # against raw running moments silently skews the folded weights
+            state = (tree.get("ema_state") or tree["state"]) if ema \
+                else tree["state"]
             spec_yaml = tree.get("spec_yaml")
             spec = load_spec(json.loads(spec_yaml) if isinstance(spec_yaml, str)
                              else (spec_yaml or cfg))
@@ -233,28 +237,56 @@ class Engine:
                  else [None] * len(dets))
         return dets, masks
 
-    def _decoded(self, img_u8: jnp.ndarray) -> jnp.ndarray:
-        """Decoded (B, N, no) predictions only (ensemble building block)."""
-        key = ("decode", img_u8.shape)
+    def _decoded(self, img_u8: jnp.ndarray, augment: bool = False,
+                 want_seg: bool = False):
+        """Decoded (B, N, no) predictions (+ optional seg logits) — the
+        ensemble building block.  Weights are closed over like the fused
+        path (re-flattening the param pytree per call costs more host time
+        than the device compute)."""
+        key = ("decode", img_u8.shape, augment, want_seg)
         if key not in self._cache:
             spec, cdt = self.spec, self.compute_dtype
+            params, state = self.params, self.state
 
-            def f(params, state, x):
-                det, _, _ = forward(spec, params, state,
-                                    x.astype(cdt) / 255.0, train=False,
-                                    fused=True, decode=True)
-                return det[0]
+            def f(x):
+                xn = x.astype(cdt) / 255.0
+                if augment:  # TTA per member (reference Ensemble.forward
+                    zs = []  # passes augment through, experimental.py:26)
+                    for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
+                        xi = jnp.flip(xn, 2) if fi == 3 else xn
+                        xi = scale_img_pad(xi, si, gs=max(spec.strides))
+                        det, _, _ = forward(spec, params, state, xi,
+                                            train=False, fused=True,
+                                            decode=True)
+                        zi = det[0]
+                        zi = zi.at[..., :4].divide(si)
+                        if fi == 3:
+                            zi = zi.at[..., 0].set(xn.shape[2] - zi[..., 0])
+                        zs.append(zi)
+                    z = jnp.concatenate(zs, 1)
+                    if not want_seg:
+                        return z
+                    _, seg, _ = forward(spec, params, state, xn, train=False,
+                                        fused=True, decode=False)
+                    return z, seg
+                det, seg, _ = forward(spec, params, state, xn, train=False,
+                                      fused=True, decode=True)
+                return (det[0], seg) if want_seg else det[0]
             self._cache[key] = jax.jit(f)
-        return self._cache[key](self.params, self.state, img_u8)
+        return self._cache[key](img_u8)
 
     def _call_ensemble(self, img, orig_hw, conf, iou, classes, agnostic,
                        multi_label, max_det, augment):
         """Multi-model NMS ensemble (reference Ensemble.forward: cat + NMS)."""
         from .ops.nms import nms_batched
+        from .ops.resize import resize_bilinear
         from .utils.boxes import scale_coords
 
         x = jnp.asarray(img)
-        zs = [self._decoded(x)] + [e._decoded(x) for e in self.ensemble]
+        # seg comes from the primary model (reference forward_once returns
+        # the last member's seg; ours is the first/primary — documented)
+        z0, seg = self._decoded(x, augment=augment, want_seg=True)
+        zs = [z0] + [e._decoded(x, augment=augment) for e in self.ensemble]
         z = jnp.concatenate(zs, axis=1)
         cmask = None
         if classes is not None:
@@ -273,15 +305,11 @@ class Engine:
                 d = np.asarray(scale_coords(img.shape[1:3], d, orig_hw))
                 d[:, :4] = np.round(d[:, :4])
             dets.append(d)
-        # seg comes from the primary model's fused path
-        fn = self._compiled(tuple(img.shape[1:3]), tuple(orig_hw), conf, iou,
-                            tuple(classes) if classes is not None else None,
-                            agnostic, multi_label, max_det, False)
-        if self.spec.rows and self.spec.rows[0].module == "Focus":
-            x = jnp.asarray(space_to_depth_host(img))
-        _, _, cls_map = fn(x)
-        masks = (list(np.asarray(cls_map)) if cls_map is not None
-                 else [None] * len(dets))
+        masks = [None] * len(dets)
+        if seg is not None:
+            segf = resize_bilinear(seg, orig_hw, align_corners=True)
+            masks = list(np.asarray(
+                jnp.argmax(segf, -1).astype(jnp.uint8)))
         return dets, masks
 
     def warmup(self, in_hw, orig_hw, **kw):

@@ -97,11 +97,12 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
             fwd_cache[key] = jax.jit(f)
         return fwd_cache[key](params, state, jnp.asarray(imgs))
 
+    n_batches = 0
     for imgs, targets, tmask, paths, shapes in loader:
+        n_batches += 1
         x = imgs.astype(np.float32) / 255.0
         t0 = time.time()
-        z, raw = run_model(x)
-        z = np.asarray(z)
+        z, raw = run_model(x)  # stays on device: NMS consumes it directly
         t_inf += time.time() - t0
         if det_loss is not None:
             import jax.numpy as jnp
@@ -186,9 +187,17 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
     maps = np.zeros(spec.nc) + map_
     for i, c in enumerate(ap_class):
         maps[int(c)] = ap_m[i]
+    if verbose and len(ap_class) and names:
+        # per-class table (reference test.py:287-290)
+        print(f"{'class':>20s}{'labels':>9s}{'P':>10s}{'R':>10s}"
+              f"{'mAP@.5':>10s}{'mAP@.5:.95':>11s}")
+        for i, c in enumerate(ap_class):
+            print(f"{names[int(c)]:>20s}{int(nt[int(c)]):>9d}{p[i]:>10.3g}"
+                  f"{r[i]:>10.3g}{ap50[i]:>10.3g}{ap_m[i]:>11.3g}")
     if confusion is not None:
         confusion.plot(save_dir=save_dir, names=names or [])
-    loss_avg = loss_items / max(len(stats), 1)
+    # per-batch mean like reference test.py (loss divided by len(dataloader))
+    loss_avg = loss_items / max(n_batches, 1)
     if save_json and jdict:
         import json as json_lib
         pred_json = Path(save_dir) / "predictions.json"

@@ -217,7 +217,10 @@ def strip_optimizer(path: str, out_path: Optional[str] = None) -> None:
         "params": ckpt.get("ema_params") or ckpt["params"],
         "state": ckpt.get("ema_state") or ckpt["state"],
         "spec_yaml": ckpt.get("spec_yaml"),
-        "step": ckpt.get("step"),
+        # the trainer stores the EMA/update counter as "updates"
+        # (cli/train.py); keep it so a resumed EMA doesn't restart its
+        # 2000-step decay warmup
+        "updates": ckpt.get("updates", ckpt.get("step")),
         "epoch": ckpt.get("epoch"),
         "best_fitness": ckpt.get("best_fitness"),
     }

@@ -60,3 +60,43 @@ def test_p6_engine():
     dets, masks = e(img, (128, 256), conf=0.001)
     assert dets[0].shape[1] == 6
     assert masks[0] is None  # detection-only config
+
+
+def test_ensemble_tta(eng):
+    """--augment must propagate to every ensemble member (reference
+    Ensemble.forward passes augment through, experimental.py:26): TTA
+    concatenates 3 scales, so the candidate pool triples."""
+    e2 = Engine(None, cfg="yolov5s_city_seg", half=False)
+    eng2 = Engine(None, cfg="yolov5s_city_seg", half=False)
+    eng2.ensemble = [e2]
+    img = (np.random.RandomState(2).rand(1, 128, 256, 3) * 255).astype(np.uint8)
+    x = np.asarray(img)
+    import jax.numpy as jnp
+    z_plain = eng2._decoded(jnp.asarray(x))
+    z_tta = eng2._decoded(jnp.asarray(x), augment=True)
+    assert z_tta.shape[1] > z_plain.shape[1]  # 3-scale concat
+    dets, masks = eng2(img, (128, 256), conf=0.001, augment=True)
+    assert dets[0].shape[1] == 6 and masks[0] is not None
+
+
+def test_engine_npz_uses_ema_state(tmp_path):
+    """EMA params must pair with EMA BN stats at load (fusing EMA gamma/beta
+    against raw running moments skews the folded conv weights)."""
+    from multiyolov5_tpu.utils import checkpoint as ck
+
+    base = Engine(None, cfg="yolov5s", half=False)
+    tree = {"params": base.params, "state": base.state}
+    # make raw state poisonous: huge running_var would visibly change fusion
+    bad_state = {k: (v * 0 + 1e6 if "running_var" in k else v)
+                 for k, v in base.state.items()}
+    path = str(tmp_path / "ck.npz")
+    ck.save_npz(path, {"params": {k: np.asarray(v) * 0 for k, v in base.params.items()},
+                       "state": {k: np.asarray(v) for k, v in bad_state.items()},
+                       "ema_params": {k: np.asarray(v) for k, v in base.params.items()},
+                       "ema_state": {k: np.asarray(v) for k, v in base.state.items()}})
+    e = Engine(path, cfg="yolov5s", half=False)
+    ref = Engine(None, cfg="yolov5s", half=False,
+                 spec=base.spec, params=base.params, state=base.state)
+    k = next(k for k in e.params if k.endswith("conv.weight"))
+    np.testing.assert_allclose(np.asarray(e.params[k]),
+                               np.asarray(ref.params[k]), rtol=1e-5)

@@ -97,3 +97,23 @@ def test_orbax_roundtrip(tmp_path):
     out = ck.load_orbax(path, target=tree)
     np.testing.assert_array_equal(out["params"]["w"], tree["params"]["w"])
     assert int(out["step"]) == 7
+
+
+def test_strip_optimizer_keeps_updates(tmp_path):
+    """strip_optimizer must carry the trainer's EMA update counter
+    ('updates') so resumed EMAs don't restart the 2000-step decay ramp."""
+    from multiyolov5_tpu.utils import checkpoint as ck
+
+    path = str(tmp_path / "train.npz")
+    ck.save_npz(path, {"params": {"w": np.ones(3, np.float32)},
+                       "state": {"s": np.zeros(1, np.float32)},
+                       "ema_params": {"w": np.full(3, 2.0, np.float32)},
+                       "ema_state": {"s": np.ones(1, np.float32)},
+                       "opt": {"m": {"w": np.zeros(3, np.float32)}},
+                       "updates": np.asarray(1234, np.int32),
+                       "epoch": np.asarray(7)})
+    ck.strip_optimizer(path)
+    out = ck.load_npz(path)
+    assert int(out["updates"]) == 1234
+    assert "opt" not in out or not out.get("opt")
+    np.testing.assert_array_equal(out["params"]["w"], np.full(3, 2.0))
