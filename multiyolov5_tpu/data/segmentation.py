@@ -331,50 +331,58 @@ class SegLoader:
         self.seed = seed
         self.epoch = 0
 
-    def __len__(self):
-        n = len(self.ds) // self.num_shards
-        return n // self.bs if self.drop_last else math.ceil(n / self.bs)
-
-    def __iter__(self):
+    def _plan(self):
         idx = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        self.epoch += 1
         idx = idx[self.shard::self.num_shards]
-        nb = len(idx) // self.bs if self.drop_last else math.ceil(len(idx) / self.bs)
-        batches = [idx[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.workers * 2)
+        nb = (len(idx) // self.bs if self.drop_last
+              else math.ceil(len(idx) / self.bs))
+        return [idx[i * self.bs:(i + 1) * self.bs] for i in range(nb)]
+
+    def __len__(self):
+        return len(self._plan())
+
+    def __iter__(self):
+        batches = self._plan()
+        self.epoch += 1
+        # per-worker bounded queues, batches assigned round-robin: batch k
+        # comes from queue k%W in order, giving real backpressure; producers
+        # timeout-put so an abandoned iterator (cli/train.py re-creates
+        # seg_iter each epoch) can't leave threads blocked in q.put forever
+        W = min(self.workers, max(1, len(batches)))
+        qs = [queue_mod.Queue(maxsize=2) for _ in range(W)]
         stop = threading.Event()
 
-        def produce(wid):
-            for bi in range(wid, len(batches), self.workers):
-                if stop.is_set():
-                    return
+        def produce(w):
+            for bi in range(w, len(batches), W):
                 try:
                     items = [self.ds[i] for i in batches[bi]]
                     imgs = np.stack([it[0] for it in items], 0)
                     masks = np.stack([np.asarray(it[1]) for it in items], 0)
-                    q.put((bi, (imgs, masks)))
+                    payload = (imgs, masks)
                 except Exception as e:  # propagate, don't hang the consumer
-                    q.put((bi, e))
+                    payload = e
+                while not stop.is_set():
+                    try:
+                        qs[w].put(payload, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set() or isinstance(payload, Exception):
                     return
 
         threads = [threading.Thread(target=produce, args=(w,), daemon=True)
-                   for w in range(self.workers)]
+                   for w in range(W)]
         for t in threads:
             t.start()
         try:
-            pending, want, got = {}, 0, 0
-            while got < len(batches):
-                bi, batch = q.get()
+            for k in range(len(batches)):
+                batch = qs[k % W].get()
                 if isinstance(batch, Exception):
                     raise batch
-                pending[bi] = batch
-                while want in pending:
-                    yield pending.pop(want)
-                    want += 1
-                    got += 1
+                yield batch
         finally:
             stop.set()
 

@@ -148,8 +148,11 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
                 n_scaled = 1
             if m == "Focus":
                 stride_out *= 2
-            elif len(args) > 3 and args[3] == 2:  # stride-2 conv variants
-                stride_out *= 2
+            elif (len(args) > 3 and isinstance(args[3], int)
+                  and not isinstance(args[3], bool) and args[3] > 1):
+                # strided conv variants (args = [c1, c2, k, s, ...]; bool
+                # args[3] is a shortcut flag on C3-family rows, not a stride)
+                stride_out *= args[3]
         elif m == "nn.BatchNorm2d":
             c1 = get_ch(fi)
             c2 = c1
@@ -192,8 +195,10 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
         elif m == "nn.MaxPool2d":
             c1 = get_ch(fi)
             c2 = c1
-            if len(args) > 1 and args[1] and args[1] > 1:
-                stride_out *= args[1]
+            # torch default: stride = kernel_size (mirrors model.py runtime)
+            s = args[1] if len(args) > 1 and args[1] else args[0]
+            if s > 1:
+                stride_out *= s
         elif m == "nn.ZeroPad2d":
             c1 = get_ch(fi)
             c2 = c1
@@ -223,14 +228,24 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
 
 def _check_anchor_order(spec: ModelSpec) -> None:
     """reference utils/autoanchor.py:12-20 — anchor area must ascend with
-    stride; reverse if not."""
+    stride; reverse if not.  Exact reference semantics: compare the sign of
+    (last anchor area − first anchor area) over the *flattened* anchor list
+    against the stride delta (sign(0) counts as disagreeing with a positive
+    stride delta, like torch's .sign())."""
     if not spec.anchors or not spec.strides:
         return
-    areas = [sum(a * b for a, b in zip(lv[::2], lv[1::2])) for lv in spec.anchors]
-    da = areas[-1] - areas[0]
+    flat = [a * b for lv in spec.anchors for a, b in zip(lv[::2], lv[1::2])]
+    da = flat[-1] - flat[0]
     ds = spec.strides[-1] - spec.strides[0]
-    if da != 0 and ds != 0 and (da > 0) != (ds > 0):
-        spec.anchors = spec.anchors[::-1]
+    sign = lambda v: (v > 0) - (v < 0)  # noqa: E731
+    if sign(da) != sign(ds):
+        flipped = list(spec.anchors[::-1])
+        spec.anchors = flipped
+        # the Detect row's args[1] feeds init_detect's anchor buffers
+        # (model.py:83) — it must flip together with spec.anchors or decode
+        # and loss end up pairing P3 predictions with P5 anchors
+        if spec.detect_index is not None and spec.detect_index >= 0:
+            spec.rows[spec.detect_index].args[1] = flipped
 
 
 def load_spec(cfg: Union[str, Dict[str, Any]], ch: int = 3,

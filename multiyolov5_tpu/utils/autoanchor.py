@@ -12,7 +12,10 @@ import numpy as np
 def check_anchor_order(anchors: np.ndarray, strides: Sequence[int]) -> np.ndarray:
     """Reverse anchors if area order disagrees with stride order
     (reference utils/autoanchor.py:12-20).  anchors: (nl, na, 2)."""
-    a = anchors.reshape(len(anchors), -1, 2).prod(-1).mean(-1)
+    # flat per-anchor areas, first vs last — exactly the reference's
+    # anchor_grid.prod(-1).view(-1) comparison (and the same rule as
+    # models/config._check_anchor_order)
+    a = anchors.reshape(-1, 2).prod(-1)
     da = a[-1] - a[0]
     ds = strides[-1] - strides[0]
     if np.sign(da) != np.sign(ds):

@@ -1,9 +1,11 @@
 """Validation metrics (reference utils/metrics.py), torch-free.
 
-Detection AP bookkeeping runs on host numpy (tiny); the segmentation
-intersection/union reduction has a device fast path (argmax + one-hot
-bincount on TPU) used by the eval loop so full-resolution logits never hit
-the host.
+Detection AP bookkeeping runs on host numpy (tiny).  Segmentation eval
+(evaluation.seg_validation) argmaxes on device and accumulates histograms on
+host via SegMetric — exact integer counts at any resolution.  A fully
+device-side inter/union reduction (seg_confusion_device) is available for
+jitted pipelines; its fp32 one-hot sums are exact up to 2^24 pixels per
+class per call (fine per-batch at Cityscapes sizes).
 """
 
 from __future__ import annotations
@@ -19,12 +21,16 @@ def fitness(x: np.ndarray) -> np.ndarray:
     return (x[:, :4] * w).sum(1)
 
 
-def fitness2(x: np.ndarray, miou: float) -> np.ndarray:
+def fitness2(x: np.ndarray, miou) -> np.ndarray:
     """Multi-task model-selection metric: 0.1*mAP50 + 0.2*mAP + 0.7*mIoU
-    (reference utils/metrics.py:17-22)."""
+    (reference utils/metrics.py:17-22 — made row-wise: the reference's
+    np.append flattens multi-row input, which its own comment admits only
+    works because train.py always passes one row)."""
+    x = np.atleast_2d(np.asarray(x, np.float64))
+    m = np.broadcast_to(np.asarray(miou, np.float64).reshape(-1, 1),
+                        (x.shape[0], 1))
     w = np.array([0.0, 0.0, 0.1, 0.2, 0.7])
-    xm = np.expand_dims(np.append(x[:, :4], miou), 0)
-    return (xm * w).sum(1)
+    return (np.concatenate([x[:, :4], m], 1) * w).sum(1)
 
 
 def compute_ap(recall, precision):
@@ -167,7 +173,10 @@ def batch_intersection_union(output: np.ndarray, target: np.ndarray,
 
 
 def seg_confusion_device(logits, target, nclass: int):
-    """Device-side (jittable) intersection/union counters.
+    """Device-side (jittable) intersection/union counters, for pipelines
+    that want the reduction inside jit (seg_validation itself uses the host
+    SegMetric histogram path — exact at any scale; this fp32 path is exact
+    up to 2^24 pixels per class per call).
 
     Args:
       logits: (B, H, W, C) device array.  target: (B, H, W) int, ignore=-1.

@@ -136,3 +136,68 @@ def test_autoanchor_kmeans_improves_bpr(rng):
     bpr1 = metric_bpr(k, wh)[0]
     assert bpr1 > bpr0
     assert bpr1 > 0.98
+
+
+def test_fitness2_multirow():
+    """fitness2 must be row-wise (used on evolve.txt matrices; the
+    reference's np.append flattens >1 row and crashes)."""
+    from multiyolov5_tpu.utils.metrics import fitness2
+
+    x = np.array([[0.1, 0.2, 0.5, 0.4], [0.3, 0.1, 0.2, 0.1]])
+    out = fitness2(x, 0.6)
+    assert out.shape == (2,)
+    np.testing.assert_allclose(out[0], 0.1 * 0.5 + 0.2 * 0.4 + 0.7 * 0.6)
+    np.testing.assert_allclose(out[1], 0.1 * 0.2 + 0.2 * 0.1 + 0.7 * 0.6)
+    # single row + scalar still works (train loop call)
+    assert fitness2(x[:1], 0.5).shape == (1,)
+
+
+def test_seg_confusion_device_matches_host():
+    from multiyolov5_tpu.utils.metrics import (SegMetric,
+                                               seg_confusion_device)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    logits = rng.randn(2, 17, 23, 5).astype(np.float32)
+    target = rng.randint(-1, 5, (2, 17, 23))
+    inter, union = seg_confusion_device(jnp.asarray(logits),
+                                        jnp.asarray(target), 5)
+    m = SegMetric(5)
+    m.update(np.argmax(logits, -1), target)
+    np.testing.assert_array_equal(np.asarray(inter), m.total_inter)
+    np.testing.assert_array_equal(np.asarray(union), m.total_union)
+
+
+def test_anchor_order_flip_consistent():
+    """When anchors are listed largest-first, compile_spec must flip BOTH
+    spec.anchors and the Detect row's args (which feed the decode buffers) —
+    and agree with utils.autoanchor.check_anchor_order."""
+    from multiyolov5_tpu.models import zoo
+    from multiyolov5_tpu.models.config import compile_spec
+    from multiyolov5_tpu.utils.autoanchor import check_anchor_order
+
+    d = zoo.get("yolov5s")
+    d["anchors"] = d["anchors"][::-1]  # largest (P5) anchors first
+    spec = compile_spec(d)
+    assert spec.anchors[0][0] < spec.anchors[-1][0]  # flipped back
+    det_row = spec.rows[spec.detect_index]
+    assert det_row.args[1] == spec.anchors  # decode buffers agree
+    a = np.asarray(spec.anchors, np.float32).reshape(3, 3, 2)
+    np.testing.assert_array_equal(
+        check_anchor_order(a, spec.strides), a)  # already ordered
+
+
+def test_stride_inference_maxpool_default_and_stride4():
+    """nn.MaxPool2d default stride=k and stride>2 convs must propagate into
+    spec strides (they feed anchor scaling and decode grids)."""
+    from multiyolov5_tpu.models.config import compile_spec
+
+    d = {"nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0,
+         "anchors": [[10, 13, 16, 30, 33, 23]],
+         "backbone": [
+             [-1, 1, "Conv", [32, 3, 4]],        # stride 4
+             [-1, 1, "nn.MaxPool2d", [2]],       # default stride=k=2 -> 8
+         ],
+         "head": [[[1], 1, "Detect", ["nc", "anchors"]]]}
+    spec = compile_spec(d)
+    assert spec.strides == [8]
