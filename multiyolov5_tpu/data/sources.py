@@ -116,8 +116,19 @@ class LoadWebcam:
             self.cap.release()
             cv2.destroyAllWindows()
             raise StopIteration
-        ret, img0 = self.cap.read()
-        assert ret, f"camera error {self.pipe}"
+        if self.pipe == 0:  # local camera: mirror like the reference (:228)
+            ret, img0 = self.cap.read()
+            img0 = cv2.flip(img0, 1)
+        else:  # IP camera: keep realtime by decoding every 30th grabbed
+            n = 0  # frame (reference :231-237)
+            while True:
+                n += 1
+                self.cap.grab()
+                if n % 30 == 0:
+                    ret, img0 = self.cap.retrieve()
+                    if ret:
+                        break
+        assert img0 is not None, f"camera error {self.pipe}"
         img = letterbox(img0, self.img_size, auto=False, stride=self.stride)[0]
         img = np.ascontiguousarray(img[:, :, ::-1])
         return str(self.pipe), img, img0, None

@@ -78,7 +78,12 @@ class Engine:
             self.spec, self.params, self.state = self._load(weights, cfg)
         # fold BN (reference attempt_load: .float().fuse().eval())
         self.params = fuse_conv_bn(self.params, self.state)
-        self.state = {k: v for k, v in self.state.items() if "running_" not in k}
+        # drop running stats only for folded BNs; unfoldable standalone BNs
+        # (BottleneckCSP/MixConv2d/DAPPM) keep theirs and stay functional
+        self.state = {
+            k: v for k, v in self.state.items()
+            if "running_" not in k
+            or k.rsplit(".running_", 1)[0] + ".weight" in self.params}
         self.fused = True
         if half:  # bf16 weights: fp32 master copies are pointless at inference
             self.params = jax.tree.map(

@@ -23,11 +23,28 @@ from .utils.general import increment_path
 def create(name: str, pretrained: Optional[str] = None, channels: int = 3,
            classes: int = 80, autoshape: bool = True):
     """Build a model by zoo name; optionally load weights and wrap with
-    AutoShape (reference hubconf.py:22-48)."""
+    AutoShape (reference hubconf.py:22-48: channels/classes reshape the
+    model; pretrained weights are intersected into it)."""
+    if channels == 3 and classes in (80, None):
+        eng = Engine(pretrained if pretrained and os.path.exists(pretrained)
+                     else None, cfg=name)
+        return AutoShape(eng) if autoshape else eng
+    from .models.config import load_spec
+    from .models.model import init_model
+    from .utils import checkpoint as ckpt_lib
+
+    spec = load_spec(name, ch=channels, nc=classes or 80)
+    params, state = init_model(spec)
     if pretrained and os.path.exists(pretrained):
-        eng = Engine(pretrained, cfg=name)
-    else:
-        eng = Engine(None, cfg=name)
+        if pretrained.endswith(".pt"):
+            p_new, s_new, _ = ckpt_lib.load_pt(pretrained)
+        else:
+            tree = ckpt_lib.load_npz(pretrained)
+            p_new, s_new = (tree.get("ema_params") or tree["params"],
+                            tree.get("ema_state") or tree["state"])
+        params, _ = ckpt_lib.intersect_load(params, p_new)
+        state, _ = ckpt_lib.intersect_load(state, s_new)
+    eng = Engine(None, spec=spec, params=params, state=state)
     return AutoShape(eng) if autoshape else eng
 
 
@@ -95,13 +112,21 @@ class AutoShape:
         batch = np.stack([
             letterbox(im, tuple(shape1), auto=False)[0] for im in loaded], 0)
 
-        dets_all, masks_all = [], []
-        for i in range(n):  # per-image orig sizes differ -> per-image unmap
-            d, m = self.engine(batch[i][None], tuple(shape0[i]),
-                               conf=self.conf, iou=self.iou,
+        # group images by original size: each group runs ONE batched device
+        # call (the coordinate unmap is per-orig-shape, so same-size images —
+        # the common case — batch exactly; reference autoShape runs one
+        # batched forward, common.py:649)
+        dets_all: list = [None] * n
+        masks_all: list = [None] * n
+        groups: dict = {}
+        for i, s in enumerate(shape0):
+            groups.setdefault(tuple(s), []).append(i)
+        for s, idxs in groups.items():
+            d, m = self.engine(batch[idxs], s, conf=self.conf, iou=self.iou,
                                classes=self.classes, augment=augment)
-            dets_all.append(d[0])
-            masks_all.append(m[0])
+            for j, i in enumerate(idxs):
+                dets_all[i] = d[j]
+                masks_all[i] = m[j]
         return Detections(loaded, dets_all, files, names=self.names,
                           masks=masks_all)
 

@@ -109,7 +109,9 @@ def bottleneck_csp(ctx: Ctx, name: str, x, c1: int, c2: int, n: int = 1,
     y1 = ctx.conv2d(name + ".cv3", y1, 1)
     y2 = ctx.conv2d(name + ".cv2", x, 1)
     y = jnp.concatenate([y1, y2], -1)
-    if not ctx.fused:
+    # post-concat BN has no conv to fold into — applied in fused mode too
+    # (fuse_conv_bn leaves its params/stats in place)
+    if name + ".bn.weight" in ctx.p:
         y = ctx.batch_norm(name + ".bn", y)
     y = jax.nn.leaky_relu(y, 0.1)
     return conv(ctx, name + ".cv4", y, 1, 1)
@@ -602,7 +604,8 @@ def mixconv2d(ctx: Ctx, name: str, x, k=(1, 3), s: int = 1):
         ys.append(ctx.conv2d(f"{name}.m.{g}", x, k[g], s=s))
         g += 1
     y = jnp.concatenate(ys, -1)
-    if not ctx.fused:
+    # post-concat BN is unfoldable — applied in fused mode too
+    if name + ".bn.weight" in ctx.p:
         y = ctx.batch_norm(name + ".bn", y)
     return x + jax.nn.leaky_relu(y, 0.1)  # residual (reference :95)
 

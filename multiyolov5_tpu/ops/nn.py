@@ -191,13 +191,15 @@ class Ctx:
 
 
 def fuse_conv_bn(params: Params, state: Params) -> Params:
-    """Fold every ``<p>.bn`` into ``<p>.conv`` producing inference params.
+    """Fold every conv-following ``<p>.bn`` into ``<p>.conv``, producing
+    inference params.
 
     Same math as reference utils/torch_utils.py:182-202 (fuse_conv_and_bn):
       w' = w * gamma / sqrt(var + eps);  b' = beta - gamma * mean / sqrt(var+eps)
-    Standalone BNs (keys ``<p>.running_mean`` whose param keys end with
-    ``.weight`` but have no sibling conv) are left for the caller; in this
-    architecture every BN follows a conv so all fold.
+    BNs with no preceding conv sibling (BottleneckCSP/MixConv2d post-concat
+    BNs, DAPPM's pre-activation BNs) are NOT foldable and keep their params —
+    the forward applies them from running stats even in fused mode, and
+    Engine keeps their running_ state (it drops stats only for folded BNs).
     """
     fused: Params = dict(params)
     bn_prefixes = sorted({k[: -len(".running_mean")] for k in state if k.endswith(".running_mean")})
@@ -213,11 +215,11 @@ def fuse_conv_bn(params: Params, state: Params) -> Params:
             conv = bn[: -len(".bn")] + ".conv"
         else:
             head, _, idx = bn.rpartition(".")
-            conv = f"{head}.{int(idx) - 1}"
+            conv = f"{head}.{int(idx) - 1}" if idx.isdigit() else ""
         wkey = conv + ".weight"
-        if wkey not in fused:  # pragma: no cover - defensive
-            raise KeyError(f"no conv found for BN prefix {bn!r}")
-        w = fused[wkey]
+        w = fused.get(wkey)
+        if w is None or w.ndim != 4 or w.shape[3] != gamma.shape[0]:
+            continue  # standalone / pre-activation BN: not foldable
         fused[wkey] = w * scale.reshape(1, 1, 1, -1)
         prev_b = fused.pop(conv + ".bias", None)
         b = beta - mean * scale

@@ -46,7 +46,10 @@ class InferenceServer:
         self._n_frames = 0
         self._n_batches = 0
         self._t_device = 0.0
-        self._warmed: set = set()
+        # batch-size buckets: arbitrary collected sizes are padded up to the
+        # nearest bucket so only these (batch, geometry) graphs ever compile
+        self._buckets = sorted({1, max_batch} | {
+            b for b in (2, 4, 8, 16, 32, 64) if b < max_batch})
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -58,6 +61,8 @@ class InferenceServer:
             raise RuntimeError("server closed")
         fut: Future = Future()
         self._q.put((frame_bgr, fut))
+        if self._closed.is_set() and fut.cancel():  # raced with close()
+            raise RuntimeError("server closed")
         return fut
 
     def infer(self, frame_bgr: np.ndarray, timeout: float = 30.0):
@@ -72,6 +77,14 @@ class InferenceServer:
         self._closed.set()
         self._q.put(None)
         self._thread.join(timeout=5)
+        # cancel anything still queued so waiting clients don't hang forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue_mod.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].cancel()
 
     # -- dispatcher -----------------------------------------------------------
 
@@ -110,13 +123,21 @@ class InferenceServer:
                         [letterbox(f, self.img_size, auto=False,
                                    stride=self.engine.stride)[0][:, :, ::-1]
                          for f, _ in items], 0)
+                    # pad to the nearest batch bucket: one compiled graph per
+                    # (bucket, geometry) instead of per arbitrary batch size
+                    n = len(items)
+                    b = next(x for x in self._buckets if x >= n)
+                    if b > n:
+                        letterboxed = np.concatenate(
+                            [letterboxed,
+                             np.repeat(letterboxed[-1:], b - n, 0)], 0)
                     t0 = time.perf_counter()
                     dets, masks = self.engine(
                         np.ascontiguousarray(letterboxed), orig_hw,
                         conf=self.conf, iou=self.iou)
                     self._t_device += time.perf_counter() - t0
                     self._n_batches += 1
-                    self._n_frames += len(items)
+                    self._n_frames += n
                     for (_, fut), d, m in zip(items, dets, masks):
                         fut.set_result((d, m))
                 except Exception as e:
@@ -125,9 +146,10 @@ class InferenceServer:
                             fut.set_exception(e)
 
     def warmup(self, orig_hw: Tuple[int, int]) -> None:
-        """Pre-compile the 1..max_batch graphs for a frame geometry."""
+        """Pre-compile every batch-bucket graph for a frame geometry (all
+        runtime batches are padded to one of these buckets)."""
         frame = np.zeros((*orig_hw, 3), np.uint8)
-        for b in {1, self.max_batch}:
+        for b in self._buckets:
             futs = [self.submit(frame) for _ in range(b)]
             for f in futs:
                 f.result(timeout=600)

@@ -100,3 +100,18 @@ def test_engine_npz_uses_ema_state(tmp_path):
     k = next(k for k in e.params if k.endswith("conv.weight"))
     np.testing.assert_allclose(np.asarray(e.params[k]),
                                np.asarray(ref.params[k]), rtol=1e-5)
+
+
+def test_hub_create_classes_channels():
+    """hub.create must honor classes/channels (reference hubconf.create
+    passes them to Model(cfg, channels, classes))."""
+    from multiyolov5_tpu.hub import create
+
+    m = create("yolov5s", classes=20, autoshape=False)
+    assert m.spec.nc == 20
+    # decode output width = 5 + nc
+    dets, _ = m(np.zeros((1, 64, 64, 3), np.uint8), (64, 64), conf=0.001)
+    assert dets[0].shape[1] == 6
+    m1 = create("yolov5s", channels=1, classes=20, autoshape=False)
+    k = "model.0.conv.conv.weight"  # Focus stem: 4*ch input channels
+    assert m1.params[k].shape[2] == 4

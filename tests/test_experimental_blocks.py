@@ -77,3 +77,58 @@ def test_ghost_bottleneck(ref_exp, rng, c2, s):
     xj = jnp.asarray(x)
     _check(ref_exp.GhostBottleneck(8, c2, 3, s),
            lambda ctx: B.ghost_bottleneck(ctx, "m", xj, 8, c2, 3, s), x)
+
+
+@pytest.fixture(scope="module")
+def ref_common(ref_exp):
+    import importlib
+    sys.path.insert(0, REF)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    mod = importlib.import_module("models.common")
+    os.chdir(cwd)
+    sys.path.remove(REF)
+    return mod
+
+
+def test_dappm(ref_common, rng):
+    """DAPPM (reference models/common.py:327-412) — pre-activation BNs are
+    NOT conv-foldable; exercised both unfused and after fuse_conv_bn."""
+    x = rng.randn(2, 32, 32, 16).astype(np.float32) * 0.5
+    tmod = ref_common.DAPPM(16, 8, 24)
+    _check(tmod, lambda ctx: B.dappm(ctx, "m", jnp.asarray(x)), x, atol=1e-4)
+    # fused path: standalone BNs survive fuse and still apply
+    from multiyolov5_tpu.ops.nn import fuse_conv_bn
+    params, state = from_torch_state_dict(
+        {f"m.{k}": v for k, v in tmod.state_dict().items()})
+    pf = fuse_conv_bn(params, state)
+    ctxf = Ctx(p=pf, s=state, train=False, fused=True)
+    got_f = np.asarray(B.dappm(ctxf, "m", jnp.asarray(x)))
+    ctx = Ctx(p=params, s=state, train=False)
+    got = np.asarray(B.dappm(ctx, "m", jnp.asarray(x)))
+    np.testing.assert_allclose(got_f, got, rtol=1e-4, atol=1e-4)
+
+
+def test_rfb1_and_aspps(ref_common, rng):
+    x = rng.randn(1, 16, 16, 32).astype(np.float32) * 0.5
+    _check(ref_common.RFB1(32, 16), 
+           lambda ctx: B.rfb1(ctx, "m", jnp.asarray(x)), x, atol=1e-4)
+    _check(ref_common.ASPPs(32, 16),
+           lambda ctx: B.aspps(ctx, "m", jnp.asarray(x)), x, atol=1e-4)
+
+
+def test_bottleneck_csp_fused_engine(rng):
+    """BottleneckCSP/MixConv2d through the fused Engine (their post-concat
+    BNs have no conv to fold into — fuse must skip, forward must apply)."""
+    from multiyolov5_tpu.engine import Engine
+
+    d = {"nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0,
+         "anchors": [[10, 13, 16, 30, 33, 23]],
+         "backbone": [[-1, 1, "Focus", [16, 3]],
+                      [-1, 1, "Conv", [32, 3, 2]],
+                      [-1, 1, "BottleneckCSP", [32]],
+                      [-1, 1, "MixConv2d", [32, [1, 3], 1]]],
+         "head": [[[3], 1, "Detect", ["nc", "anchors"]]]}
+    e = Engine(None, cfg=d, half=False)
+    dets, _ = e(np.zeros((1, 64, 64, 3), np.uint8), (64, 64), conf=0.001)
+    assert dets[0].shape[1] == 6

@@ -45,3 +45,33 @@ def test_close_rejects(server):
     s2.close()
     with pytest.raises(RuntimeError):
         s2.submit(np.zeros((32, 32, 3), np.uint8))
+
+
+def test_close_cancels_queued():
+    """close() must resolve (cancel) queued futures so clients don't hang."""
+    from concurrent.futures import CancelledError
+
+    s = InferenceServer(None, cfg="yolov5s", img_size=64, half=False,
+                        max_wait_ms=0.1)
+    # stall the dispatcher by submitting during close
+    futs = [s.submit(np.zeros((32, 32, 3), np.uint8)) for _ in range(4)]
+    s.close()
+    for f in futs:
+        try:
+            f.result(timeout=30)  # either served before close...
+        except CancelledError:
+            pass                  # ...or cancelled — never hangs
+
+
+def test_batch_bucket_padding():
+    """Arbitrary collected batch sizes pad to a warmed bucket: submitting 3
+    frames must not compile a bs-3 graph (buckets are 1,2,4)."""
+    s = InferenceServer(None, cfg="yolov5s", img_size=64, half=False,
+                        max_batch=4, max_wait_ms=50.0)
+    assert s._buckets == [1, 2, 4]
+    futs = [s.submit(np.zeros((32, 32, 3), np.uint8)) for _ in range(3)]
+    outs = [f.result(timeout=300) for f in futs]
+    assert len(outs) == 3 and all(o[0].shape[1] == 6 for o in outs)
+    geoms = {k[0][0] for k in s.engine._cache}  # cache key leads with shape
+    assert 3 not in geoms
+    s.close()
