@@ -66,10 +66,22 @@ def detect(opt):
         im_batch = img if img.ndim == 4 else img[None]
         im0_list = im0s if isinstance(im0s, list) else [im0s]
         t1 = time.time()
-        dets, masks = engine(
-            im_batch, tuple(im0_list[0].shape[:2]), conf=opt.conf_thres,
-            iou=opt.iou_thres, classes=opt.classes, agnostic=opt.agnostic_nms,
-            augment=opt.augment)
+        # per-original-shape groups: the coordinate unmap and mask resize are
+        # baked per orig_hw, so multi-stream batches with differing source
+        # resolutions must not share one shape
+        dets = [None] * len(im0_list)
+        masks = [None] * len(im0_list)
+        shape_groups: dict = {}
+        for i, im0 in enumerate(im0_list):
+            shape_groups.setdefault(tuple(im0.shape[:2]), []).append(i)
+        for orig_hw, idxs in shape_groups.items():
+            d, m = engine(
+                im_batch[idxs], orig_hw, conf=opt.conf_thres,
+                iou=opt.iou_thres, classes=opt.classes,
+                agnostic=opt.agnostic_nms, augment=opt.augment)
+            for j, i in enumerate(idxs):
+                dets[i] = d[j]
+                masks[i] = m[j]
         t2 = time.time()
 
         for i, det in enumerate(dets):
@@ -111,7 +123,9 @@ def detect(opt):
                 if mask is not None:
                     cv2.imshow("segmentation", mask)
                     cv2.imshow("mix", dst)
-                cv2.waitKey(0)
+                # reference detect.py:182 uses waitKey(1); blocking per-frame
+                # would freeze webcam/stream sources
+                cv2.waitKey(0 if dataset.mode == "image" else 1)
             if opt.submit and mask_map is not None:
                 sub_path = sub_dir + str(p.name)
                 sub_path = sub_path[:-4] + "_pred.png"
@@ -143,8 +157,8 @@ def detect(opt):
                 if not s_writer:
                     fps, wv, hv = 30, out_frame.shape[1], out_frame.shape[0]
                     s_writer = cv2.VideoWriter(
-                        str(save_dir) + "out.mp4", cv2.VideoWriter_fourcc(*"mp4v"),
-                        fps, (wv, hv))
+                        str(save_dir / "out.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), fps, (wv, hv))
                 s_writer.write(out_frame)
 
     if save_txt or save_img:

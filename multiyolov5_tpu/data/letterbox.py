@@ -58,9 +58,12 @@ def letterbox(img: np.ndarray, new_shape=(640, 640), color=(114, 114, 114),
         img = _resize(img, new_unpad)
     top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
     left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    ch = img.shape[2] if img.ndim == 3 else 1
+    fill = np.asarray(color, img.dtype)
+    if fill.ndim and ch < fill.shape[0]:  # grayscale input, RGB color tuple
+        fill = fill[:ch]
     out = np.full((img.shape[0] + top + bottom, img.shape[1] + left + right,
-                   img.shape[2] if img.ndim == 3 else 1),
-                  np.asarray(color, img.dtype), dtype=img.dtype)
+                   ch), fill, dtype=img.dtype)
     if img.ndim == 2:
         img = img[..., None]
     out[top:top + img.shape[0], left:left + img.shape[1]] = img

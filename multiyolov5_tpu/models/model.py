@@ -256,10 +256,14 @@ class Model:
 
     def fuse(self) -> "Model":
         if not self.fused:
-            buffers = {k: v for k, v in self.state.items()
-                       if "running_" not in k}
             self.params = fuse_conv_bn(self.params, self.state)
-            self.state = buffers
+            # drop running stats only for folded BNs — unfoldable standalone
+            # BNs (BottleneckCSP/MixConv2d/DAPPM/nn.BatchNorm2d rows) still
+            # read theirs in fused eval (same filter as Engine)
+            self.state = {
+                k: v for k, v in self.state.items()
+                if "running_" not in k
+                or k.rsplit(".running_", 1)[0] + ".weight" in self.params}
             self.fused = True
         return self
 
@@ -267,11 +271,13 @@ class Model:
         self.params = jax.tree.map(
             lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
             self.params)
+        self._compute_dtype = jnp.bfloat16
         return self
 
     def __call__(self, x, train: bool = False, rng=None, decode=None):
         return forward(self.spec, self.params, self.state, x,
-                       train=train, fused=self.fused, rng=rng, decode=decode)
+                       train=train, fused=self.fused, rng=rng, decode=decode,
+                       compute_dtype=getattr(self, "_compute_dtype", None))
 
     def info(self, verbose: bool = False, img_size: int = 640):
         """Param/GFLOPs summary (reference Model.info)."""

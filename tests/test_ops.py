@@ -122,3 +122,49 @@ def test_dilated_conv_matches_torch(rng):
     want = F.conv2d(torch.from_numpy(to_nchw(x)), torch.from_numpy(w),
                     padding=3, dilation=3).numpy()
     np.testing.assert_allclose(to_nchw(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_model_fuse_half_standalone_bn():
+    """Model.fuse() keeps running stats for unfoldable BNs; half() actually
+    runs bf16 compute (compute_dtype plumbed through __call__)."""
+    import jax.numpy as jnp
+    from multiyolov5_tpu.models.model import Model
+
+    d = {"nc": 2, "depth_multiple": 1.0, "width_multiple": 1.0,
+         "anchors": [[10, 13, 16, 30, 33, 23]],
+         "backbone": [[-1, 1, "Focus", [16, 3]],
+                      [-1, 1, "Conv", [32, 3, 2]],
+                      [-1, 1, "BottleneckCSP", [32]]],
+         "head": [[[2], 1, "Detect", ["nc", "anchors"]]]}
+    m = Model(d)
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    (z0, _), _, _ = m(x)
+    m.fuse()
+    (z1, _), _, _ = m(x)  # must not KeyError on running stats
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               rtol=1e-4, atol=1e-5)
+    m.half()
+    raw, _, _ = m(x, decode=False)
+    assert raw[0].dtype == jnp.bfloat16  # actually computing in bf16
+
+
+def test_letterbox_grayscale():
+    from multiyolov5_tpu.data.letterbox import letterbox
+
+    g = np.zeros((100, 60), np.uint8)
+    out, ratio, (dw, dh) = letterbox(g, 128, auto=False)
+    assert out.ndim == 2 and out.shape == (128, 128)
+    assert out[0, 0] == 114  # padded with the gray fill value
+
+
+def test_warmup_accumulate_endpoint():
+    """Warmup must end exactly at the steady-state accumulate (reference
+    interps to the UNROUNDED nbs/total_bs: train.py:347)."""
+    from multiyolov5_tpu.train.optim import WarmupCosine
+
+    sched = WarmupCosine(lr0=0.01, lrf=0.2, epochs=10, warmup_iters=300)
+    wi = sched.warmup_iters
+    # nbs=64, total_bs=24 -> steady accumulate = round(2.667) = 3
+    assert sched.accumulate_at(wi, 64, 24) == 3
+    assert sched.accumulate_at(wi + 1, 64, 24) == 3
+    assert sched.accumulate_at(0, 64, 24) == 1
