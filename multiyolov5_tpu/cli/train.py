@@ -57,8 +57,10 @@ def train(opt):
     last, best = wdir / "last.npz", wdir / "best.npz"
     with open(save_dir / "hyp.yaml", "w") as fh:
         yaml.safe_dump(hyp, fh)
-    with open(save_dir / "opt.yaml", "w") as fh:
-        yaml.safe_dump({k: str(v) for k, v in vars(opt).items()}, fh)
+    with open(save_dir / "opt.yaml", "w") as fh:  # types must round-trip
+        yaml.safe_dump({k: (v if isinstance(v, (int, float, bool, str, list))
+                            or v is None else str(v))
+                        for k, v in vars(opt).items()}, fh)
     results_file = save_dir / "results.txt"
 
     with open(opt.data) as fh:
@@ -84,6 +86,15 @@ def train(opt):
                 best_fitness = float(tree.get("best_fitness", 0.0))
                 resume_opt_state = tree.get("opt")
                 resume_tree = tree
+                assert start_epoch > 0, (
+                    f"{opt.weights} has no training epochs recorded, "
+                    f"nothing to resume")
+                if opt.epochs <= start_epoch:
+                    # reference train.py:174-177: fine-tune for `epochs`
+                    # ADDITIONAL epochs when the run already finished
+                    print(f"{opt.weights} trained for {start_epoch} epochs; "
+                          f"fine-tuning {opt.epochs} additional epochs")
+                    opt.epochs += start_epoch
         params, n1 = ckpt_lib.intersect_load(params, p_new)
         state, n2 = ckpt_lib.intersect_load(state, s_new)
         print(f"transferred {n1}+{n2} items from {opt.weights}")
@@ -91,6 +102,13 @@ def train(opt):
     imgsz = opt.img_size[0] if isinstance(opt.img_size, list) else opt.img_size
     gs = max(spec.strides)
     bs = opt.batch_size
+
+    # scale loss gains to detect layers / classes / image size
+    # (reference train.py:248-250)
+    nl = spec.nl
+    hyp["box"] *= 3.0 / nl
+    hyp["cls"] *= nc / 80.0 * 3.0 / nl
+    hyp["obj"] *= (imgsz / 640) ** 2 * 3.0 / nl
 
     # Loaders
     train_ds = DetectionDataset(data["train"], img_size=imgsz, batch_size=bs,
@@ -190,11 +208,17 @@ def train(opt):
             ts["updates"] = jnp.asarray(int(resume_tree["updates"]), jnp.int32)
     n_dev = len(jax.devices())
     mesh = None
-    if n_dev > 1 and bs % n_dev == 0:
-        from ..parallel.mesh import make_mesh, replicate
-        mesh = make_mesh(n_dev)
-        ts = replicate(mesh, ts)
-        print(f"data-parallel over {n_dev} devices")
+    seg_bs = opt.seg_batch_size or bs
+    if n_dev > 1:
+        if bs % n_dev == 0 and (not seg_enabled or seg_bs % n_dev == 0):
+            from ..parallel.mesh import make_mesh, replicate
+            mesh = make_mesh(n_dev)
+            ts = replicate(mesh, ts)
+            print(f"data-parallel over {n_dev} devices")
+        else:
+            print(f"WARNING: batch sizes (det {bs}, seg {seg_bs}) not "
+                  f"divisible by {n_dev} devices — running SINGLE-device; "
+                  f"pick --batch-size/--seg-batch-size divisible by {n_dev}")
     step = make_train_step(spec, cfg, groups, mesh=mesh)
 
     nbs = 64
@@ -242,10 +266,15 @@ def train(opt):
             train_loader.set_image_weights(iw)
         mloss = np.zeros(4)
         msegloss = 0.0
+        mloss_dev = None
+        msegloss_dev = None
         ni_base = nb * epoch
         seg_iter = iter(seg_loader) if seg_enabled else None
-        dummy_seg = (np.zeros((2, 64, 64, 3), np.float32),
-                     np.full((2, 64, 64), -1, np.int64))
+        # dummy seg batch (detection-only training): batch dim must shard
+        # over the mesh, so size it divisible by n_dev
+        db = 2 * n_dev if mesh is not None else 2
+        dummy_seg = (np.zeros((db, 64, 64, 3), np.float32),
+                     np.full((db, 64, 64), -1, np.int64))
         for i, (imgs, tgts, tmask, paths, _) in enumerate(train_loader):
             if seg_enabled:
                 try:
@@ -259,14 +288,17 @@ def train(opt):
                 continue  # reference train.py:338 BN/SE batch-1 guard
             if opt.multi_scale:
                 # bucketed multi-scale (reference train.py:354-361): random
-                # /32 size in [0.5, 1.5]x imgsz, from a fixed bucket set so
-                # XLA compiles each size once
+                # scale in [0.5, 1.5]x from a fixed bucket set (XLA compiles
+                # each size once); both dims scale by the same factor like
+                # the reference's sf = sz / max(shape) — aspect preserved
                 import cv2 as _cv2
-                buckets = [int(round(imgsz * s / gs)) * gs
-                           for s in (0.5, 0.75, 1.0, 1.25, 1.5)]
-                sz = buckets[np.random.randint(len(buckets))]
-                if sz != imgs.shape[1]:
-                    imgs = np.stack([_cv2.resize(im, (sz, sz)) for im in imgs], 0)
+                sf = (0.5, 0.75, 1.0, 1.25, 1.5)[np.random.randint(5)]
+                if sf != 1.0:
+                    h0, w0 = imgs.shape[1:3]
+                    nh = max(int(round(h0 * sf / gs)) * gs, gs)
+                    nw = max(int(round(w0 * sf / gs)) * gs, gs)
+                    imgs = np.stack([_cv2.resize(im, (nw, nh))
+                                     for im in imgs], 0)
             ni = i + ni_base
             if ni < 3 and not opt.nosave:  # first-batch mosaics (reference
                 try:                        # train.py:413-415)
@@ -289,14 +321,23 @@ def train(opt):
                                jnp.asarray(seg_masks), sub,
                                jnp.float32(lr), jnp.float32(lr_bias),
                                jnp.float32(mom), jnp.asarray(do_update))
+            # accumulate device-side every iteration (no host sync) like the
+            # reference's per-iteration running mean (train.py:407-408);
+            # fetch only when printing / at epoch end
+            mloss_dev = metrics["det_items"] if mloss_dev is None \
+                else mloss_dev + metrics["det_items"]
+            msegloss_dev = metrics["seg_loss"] if msegloss_dev is None \
+                else msegloss_dev + metrics["seg_loss"]
             if i % opt.log_interval == 0:
                 items = np.asarray(metrics["det_items"])
                 segl = float(metrics["seg_loss"]) / bs
-                mloss = (mloss * i + items) / (i + 1)
-                msegloss = (msegloss * i + segl) / (i + 1)
                 print(f"epoch {epoch}/{opt.epochs - 1} it {i}/{nb} "
                       f"box {items[0]:.4f} obj {items[1]:.4f} cls {items[2]:.4f} "
                       f"seg {segl:.4f} lr {lr:.5f}", flush=True)
+        if mloss_dev is not None:
+            n_it = i + 1
+            mloss = np.asarray(mloss_dev) / n_it
+            msegloss = float(msegloss_dev) / bs / n_it
 
         # --- eval (reference train.py:430-453) ---
         eval_params = ts["ema_params"]
@@ -326,18 +367,21 @@ def train(opt):
                 f"{x:.5g}" for x in (*mloss, msegloss, *results[:4], miou, fi))
                 + "\n")
 
-        # --- checkpoint (reference train.py:474-499) ---
-        host_ts = jax.device_get(ts)
-        ck = {"params": host_ts["params"], "state": host_ts["state"],
-              "ema_params": host_ts["ema_params"],
-              "ema_state": host_ts["ema_state"], "opt": host_ts["opt"],
-              "updates": host_ts["updates"], "epoch": epoch,
-              "best_fitness": max(best_fitness, fi),
-              "spec_yaml": json.dumps(spec.yaml)}
-        ckpt_lib.save_npz(str(last), ck)
-        if fi > best_fitness:
-            best_fitness = fi
-            ckpt_lib.save_npz(str(best), ck)
+        # --- checkpoint (reference train.py:474-499: nosave skips all but
+        # the final epoch, and evolve never saves mid-run) ---
+        final_epoch = epoch == opt.epochs - 1
+        if (not opt.nosave) or (final_epoch and not getattr(opt, "evolve", False)):
+            host_ts = jax.device_get(ts)
+            ck = {"params": host_ts["params"], "state": host_ts["state"],
+                  "ema_params": host_ts["ema_params"],
+                  "ema_state": host_ts["ema_state"], "opt": host_ts["opt"],
+                  "updates": host_ts["updates"], "epoch": epoch,
+                  "best_fitness": max(best_fitness, fi),
+                  "spec_yaml": json.dumps(spec.yaml)}
+            ckpt_lib.save_npz(str(last), ck)
+            if fi > best_fitness:
+                ckpt_lib.save_npz(str(best), ck)
+        best_fitness = max(best_fitness, fi)
         print(f"epoch {epoch} done: fitness2 {fi:.4f} (best {best_fitness:.4f})"
               f" mIoU {miou:.4f}")
 
@@ -376,8 +420,8 @@ def evolve(opt, generations: int = 300):
         if evolve_file.exists() and evolve_file.stat().st_size:
             x = np.loadtxt(str(evolve_file), ndmin=2)
             n = min(5, len(x))
-            x = x[np.argsort(-fitness2(x[:, 1:5].reshape(-1, 4), 0))][:n] \
-                if x.shape[1] > 5 else x[:n]
+            # column 0 is the stored fitness2 of each generation
+            x = x[np.argsort(-x[:, 0])][:n]
             # parent selection: weighted by fitness (column 0)
             w = x[:, 0] - x[:, 0].min() + 1e-6
             parent = x[np.random.choice(n, p=w[:n] / w[:n].sum())]
@@ -474,6 +518,28 @@ def build_parser():
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
+    if opt.resume and not opt.weights:
+        # resolve the checkpoint and reuse the run's saved settings
+        # (reference train.py:596-603)
+        from ..utils.general import get_latest_run
+        ckpt = opt.resume if isinstance(opt.resume, str) else \
+            get_latest_run(opt.project)
+        assert ckpt and os.path.isfile(ckpt), \
+            f"--resume checkpoint not found: {ckpt!r}"
+        opt_yaml = Path(ckpt).parent.parent / "opt.yaml"
+        if opt_yaml.is_file():
+            with open(opt_yaml) as fh:
+                saved = yaml.safe_load(fh) or {}
+            for k, v in saved.items():
+                if hasattr(opt, k) and k not in ("resume", "weights",
+                                                 "exist_ok"):
+                    setattr(opt, k, v)
+        opt.weights = ckpt
+        opt.resume = True
+        opt.project = str(Path(ckpt).parent.parent.parent)
+        opt.name = Path(ckpt).parent.parent.name
+        opt.exist_ok = True
+        print(f"Resuming training from {ckpt}")
     if isinstance(opt.img_size, list) and len(opt.img_size) > 1:
         opt.img_size_test = opt.img_size[1]
     print(opt)

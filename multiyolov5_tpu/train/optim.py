@@ -152,11 +152,12 @@ class WarmupCosine:
         return base, base, self.momentum
 
     def accumulate_at(self, ni: int, nbs: int, total_bs: int) -> int:
-        """Warmup-ramped gradient accumulation (reference train.py:347:
-        interp to the UNROUNDED nbs/total_bs then round, so warmup ends
-        exactly at the steady-state accumulate)."""
-        target = max(round(nbs / total_bs), 1)
+        """Warmup-ramped gradient accumulation.  The reference (this fork,
+        train.py:347) interps to math.floor(nbs/total_bs) — a deliberate
+        change from upstream ("prevent NaN") — and never reassigns after
+        warmup, so the steady state IS that floor value."""
+        end = max(math.floor(nbs / total_bs), 1)
         if ni <= self.warmup_iters:
             return max(1, int(round(np.interp(
-                ni, [0, max(self.warmup_iters, 1)], [1, nbs / total_bs]))))
-        return target
+                ni, [0, max(self.warmup_iters, 1)], [1, end]))))
+        return end

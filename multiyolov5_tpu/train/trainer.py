@@ -122,7 +122,9 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         xs = seg_imgs.astype(cfg.compute_dtype)  # already /255'd by loader
         _, seg_out, new_state2 = fwd(spec, params, state2, xs, train=True,
                                      rng=rng, decode=False)
-        sloss = seg_loss_fn(seg_out, seg_lbls) * seg_imgs.shape[0] * cfg.seggain
+        # reference train.py:386 scales the mean CE by the DETECTION batch
+        # size (the two tasks share one accumulated optimizer step)
+        sloss = seg_loss_fn(seg_out, seg_lbls) * cfg.batch_size * cfg.seggain
         total = dloss + sloss
         return total, ({**state2, **new_state2}, ditems,
                        jax.lax.stop_gradient(sloss))

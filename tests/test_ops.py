@@ -158,13 +158,16 @@ def test_letterbox_grayscale():
 
 
 def test_warmup_accumulate_endpoint():
-    """Warmup must end exactly at the steady-state accumulate (reference
-    interps to the UNROUNDED nbs/total_bs: train.py:347)."""
+    """Warmup must end exactly at the steady-state accumulate: the fork
+    interps to floor(nbs/total_bs) and never reassigns after warmup
+    (reference train.py:347)."""
     from multiyolov5_tpu.train.optim import WarmupCosine
 
     sched = WarmupCosine(lr0=0.01, lrf=0.2, epochs=10, warmup_iters=300)
     wi = sched.warmup_iters
-    # nbs=64, total_bs=24 -> steady accumulate = round(2.667) = 3
-    assert sched.accumulate_at(wi, 64, 24) == 3
-    assert sched.accumulate_at(wi + 1, 64, 24) == 3
-    assert sched.accumulate_at(0, 64, 24) == 1
+    # nbs=64, total_bs=18 (repo default bs) -> floor(3.56) = 3, not round=4
+    assert sched.accumulate_at(wi, 64, 18) == 3
+    assert sched.accumulate_at(wi + 1, 64, 18) == 3
+    assert sched.accumulate_at(0, 64, 18) == 1
+    # endpoint == steady state (no discontinuity at warmup end)
+    assert sched.accumulate_at(wi, 64, 24) == sched.accumulate_at(wi + 1, 64, 24)
