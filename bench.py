@@ -34,6 +34,7 @@ def main():
     from multiyolov5_tpu.engine import Engine, space_to_depth_host
     from multiyolov5_tpu.models.model import forward
     from multiyolov5_tpu.ops.nms import nms_batched
+    from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax
     from multiyolov5_tpu.ops.resize import resize_bilinear
 
     iters = int(os.environ.get("BENCH_ITERS", 30))
@@ -45,18 +46,41 @@ def main():
     spec, params, state = eng.spec, eng.params, eng.state
     in_hw = (512, 1024)           # 1024x512 input (reference README.md:13)
     orig_hw = (1024, 2048)        # native Cityscapes frame
+    from multiyolov5_tpu.ops import stem as stem_lib
+
     frame = np.random.randint(0, 255, (1, *in_hw, 3), np.uint8)
-    x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
+    seg_up = jax.default_backend() != "tpu"  # fused mask kernel on TPU
+    fold = stem_lib.can_fold_stem(spec)      # 4x4-s2d folded stem
+    if fold:
+        x0 = jnp.asarray(space_to_depth_host(
+            space_to_depth_host(frame)).astype(np.float32))
+        stem_fw = tuple(jnp.asarray(a)
+                        for a in stem_lib.fold_stem_from_params(params))
+    else:
+        x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
     def body(x):
-        det, seg, _ = forward(spec, params, state, x.astype(jnp.bfloat16) / 255.0,
-                              train=False, fused=True, decode=True,
-                              pre_s2d=True)
+        xn = x.astype(jnp.bfloat16) / 255.0
+        if fold:
+            y1 = stem_lib.stem_apply(xn, *stem_fw)
+            det, seg, _ = forward(spec, params, state, y1, train=False,
+                                  fused=True, decode=True, start_layer=2,
+                                  seg_up=seg_up)
+        else:
+            det, seg, _ = forward(spec, params, state, xn,
+                                  train=False, fused=True, decode=True,
+                                  pre_s2d=True, seg_up=seg_up)
         boxes, valid = nms_batched(det[0], conf_thres=0.25, iou_thres=0.45,
                                    max_nms=1024)
         out = boxes.sum() + valid.sum()
         if seg is not None:
-            cm = jnp.argmax(resize_bilinear(seg, orig_hw), -1)
+            if seg_up:
+                cm = jnp.argmax(resize_bilinear(seg, orig_hw), -1)
+            else:
+                # engine fast path: fused Pallas upsample+argmax from the
+                # 1/8-res head logits (the x8 upsample never runs either)
+                cm = upsample_argmax(seg, orig_hw,
+                                     via_hw=(seg.shape[1] * 8, seg.shape[2] * 8))
             out = out + cm.astype(jnp.float32).sum()
         return out
 

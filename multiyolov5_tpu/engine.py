@@ -23,7 +23,9 @@ import numpy as np
 
 from .models.config import ModelSpec, load_spec
 from .models.model import forward, init_model
+from .ops import stem as stem_lib
 from .ops.nms import nms_batched
+from .ops.pallas.upsample_argmax_kernel import upsample_argmax
 from .ops.resize import resize_bilinear
 from .ops.nn import fuse_conv_bn
 from .utils import checkpoint as ckpt_lib
@@ -91,6 +93,17 @@ class Engine:
                 if t.dtype == jnp.float32 else t, self.params)
         self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self._cache: Dict[Any, Any] = {}
+        # folded 4x4-s2d stem (ops/stem.py): Focus + first stride-2 conv as
+        # two MXU-friendly convs on the quarter-res grid — exact, ~10x faster
+        self.fold_stem = stem_lib.can_fold_stem(self.spec)
+        self._stem_fw = None
+
+    def _stem_weights(self):
+        if self._stem_fw is None:
+            self._stem_fw = tuple(
+                jnp.asarray(a) for a in
+                stem_lib.fold_stem_from_params(self.params))
+        return self._stem_fw
 
     # -- weight loading -----------------------------------------------------
 
@@ -161,12 +174,29 @@ class Engine:
         # host s2d only applies when the model has a Focus stem and no TTA
         # (TTA rescales the raw image, which doesn't commute with s2d)
         use_s2d = (not augment and spec.rows and spec.rows[0].module == "Focus")
+        fold = (use_s2d and self.fold_stem
+                and in_hw[0] % 4 == 0 and in_hw[1] % 4 == 0)
+        stem_fw = self._stem_weights() if fold else None
+
+        # fused mask path: the seg head returns its 1/8-res logits and one
+        # Pallas kernel computes argmax(up8 -> up-to-frame) straight from
+        # them (ops/pallas/upsample_argmax_kernel.py) — the full-res logits
+        # never touch HBM.  TTA keeps the reference's materialized path.
+        fuse_mask = not augment
 
         def run(img_u8):
             x = img_u8.astype(cdt) / 255.0
-            if use_s2d:
+            if fold:
+                # x is the 4x4-s2d grid; rows 0-1 run as the folded stem
+                y1 = stem_lib.stem_apply(x, *stem_fw)
+                det, seg, _ = forward(spec, params, state, y1, train=False,
+                                      fused=True, decode=True, start_layer=2,
+                                      seg_up=not fuse_mask)
+                z = det[0]
+            elif use_s2d:
                 det, seg, _ = forward(spec, params, state, x, train=False,
-                                      fused=True, decode=True, pre_s2d=True)
+                                      fused=True, decode=True, pre_s2d=True,
+                                      seg_up=not fuse_mask)
                 z = det[0]
             elif augment:  # TTA (reference models/yolo.py:273-291)
                 zs = []
@@ -185,7 +215,8 @@ class Engine:
                                     fused=True, decode=False)
             else:
                 det, seg, _ = forward(spec, params, state, x, train=False,
-                                      fused=True, decode=True)
+                                      fused=True, decode=True,
+                                      seg_up=not fuse_mask)
                 z = det[0]
             boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,
                                        agnostic=agnostic, class_mask=cmask,
@@ -198,15 +229,18 @@ class Engine:
             boxes = jnp.concatenate([jnp.round(xy), boxes[..., 4:]], -1)
             cls_map = None
             if seg is not None:
-                # bf16 logits resize on the fast MXU path (resize_bilinear
-                # keeps fp32 exactness automatically when logits are fp32).
-                # NOTE: ops/resize.resize2x_argmax (fused phase-blend+argmax,
-                # 2x faster standalone) was A/B'd here and LOST in-pipeline
-                # (1.66 vs 1.56 ms/frame) — inside the full graph XLA already
-                # overlaps the banded matmuls, while the phase path's
-                # stack/reshape interleaves add layout copies.
-                segf = resize_bilinear(seg, orig_hw, align_corners=True)
-                cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)
+                if fuse_mask:
+                    # seg = 1/8-res logits; the kernel composes the head's x8
+                    # upsample with the frame resize (float64 matrices) and
+                    # argmaxes on-core.  (The earlier XLA-level fusion attempt,
+                    # ops/resize.resize2x_argmax, LOST in-pipeline — 1.66 vs
+                    # 1.56 ms/frame — this kernel wins: 0.21 vs 0.55 ms.)
+                    via = (seg.shape[1] * 8, seg.shape[2] * 8)
+                    cls_map = upsample_argmax(seg, orig_hw, via_hw=via,
+                                              align_corners=True)
+                else:
+                    segf = resize_bilinear(seg, orig_hw, align_corners=True)
+                    cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)
             return boxes, valid, cls_map
 
         fn = jax.jit(run)
@@ -233,7 +267,11 @@ class Engine:
                             agnostic, multi_label, max_det, augment)
         if (not augment and self.spec.rows
                 and self.spec.rows[0].module == "Focus"):
-            img = space_to_depth_host(img)
+            if (self.fold_stem and img.shape[1] % 4 == 0
+                    and img.shape[2] % 4 == 0):
+                img = space_to_depth_host(space_to_depth_host(img))
+            else:
+                img = space_to_depth_host(img)
         boxes, valid, cls_map = fn(jnp.asarray(img))
         boxes = np.asarray(boxes)
         valid = np.asarray(valid)

@@ -186,11 +186,14 @@ def _apply_row(ctx: Ctx, row, x):
 def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             train: bool = False, fused: bool = False,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
-            compute_dtype=None, pre_s2d: bool = False):
+            compute_dtype=None, pre_s2d: bool = False, seg_up: bool = True,
+            start_layer: int = 0):
     """Run the network.
 
     Args:
-      x: NHWC image batch in [0, 1].
+      x: NHWC image batch in [0, 1] — or, with ``start_layer=k``, the output
+        of row k-1 (the engine's folded stem computes rows 0-1 externally;
+        callers must ensure no skipped row is in the save list).
     Returns:
       ``(det, seg, new_state)`` where
         * train: ``det`` = list of raw per-level maps (B,na,ny,nx,no),
@@ -203,12 +206,12 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     ctx = Ctx(p=params, s=state, train=train, fused=fused, rng=rng,
-              pre_s2d=pre_s2d)
+              pre_s2d=pre_s2d, seg_up=seg_up)
     cache: Dict[int, Any] = {}
     y = x
     det_raw = None
     seg_out = None
-    for row in spec.rows:
+    for row in spec.rows[start_layer:]:
         if row.module == "Detect":
             xs = [cache[j] if j != -1 else y for j in row.f]
             det_raw = H.detect_raw(ctx, f"model.{row.i}", xs, spec.nc, spec.na)

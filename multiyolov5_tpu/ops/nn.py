@@ -107,6 +107,8 @@ class Ctx:
     new_state: Params = field(default_factory=dict)
     compute_dtype: jnp.dtype = jnp.float32
     pre_s2d: bool = False            # input already space-to-depth'd (stem)
+    seg_up: bool = True              # False: seg heads return 1/8-res logits
+                                     # (the app fuses up8+up-to-frame+argmax)
 
     def next_rng(self) -> Optional[jax.Array]:
         if self.rng is None:

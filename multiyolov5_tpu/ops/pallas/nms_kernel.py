@@ -24,7 +24,7 @@ LANES = 128
 
 
 def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_valid_ref, *, n_rows,
-                iou_thres, max_det):
+                iou_thres, max_det, md_pad):
     """boxes: (4, R, 128) f32; scores: (R, 128) f32 (<=0 -> invalid)."""
     x1 = boxes_ref[0]
     y1 = boxes_ref[1]
@@ -36,7 +36,21 @@ def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_valid_ref, *, n_rows,
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANES), 1)
     flat_ids = row_ids * LANES + lane_ids
 
-    def body(t, active):
+    # pre-fill: every slot is empty until a pick lands in it, so the pick
+    # loop can stop at the first failed pick (torchvision nms also does no
+    # work past the last surviving candidate)
+    def clear(t, _):
+        out_idx_ref[t] = jnp.int32(-1)
+        out_valid_ref[t] = jnp.int32(0)
+        return 0
+    jax.lax.fori_loop(0, md_pad, clear, 0)
+
+    def cond(carry):
+        t, go, _ = carry
+        return (t < max_det) & (go > 0)
+
+    def body(carry):
+        t, _, active = carry
         # active: float32 0/1 mask (Mosaic can't carry i1 vectors in scf.for)
         s = jnp.where(active > 0.5, scores0, -jnp.inf)
         m = jnp.max(s)
@@ -56,14 +70,17 @@ def _nms_kernel(boxes_ref, scores_ref, out_idx_ref, out_valid_ref, *, n_rows,
         inter = iw * ih
         iou = inter / (area + parea - inter + 1e-9)
         keep_f = jnp.where((iou > iou_thres) | pick, 0.0, 1.0)
-        new_active = jnp.where(ok, active * keep_f,
-                               active * jnp.where(pick, 0.0, 1.0))
-        out_idx_ref[t] = jnp.where(ok, pick_id, -1)
-        out_valid_ref[t] = jnp.where(ok, 1, 0).astype(jnp.int32)
-        return new_active
+        new_active = active * keep_f
 
-    jax.lax.fori_loop(0, max_det, body,
-                      jnp.where(scores0 > 0.0, 1.0, 0.0))
+        @pl.when(ok)
+        def _():
+            out_idx_ref[t] = pick_id
+            out_valid_ref[t] = jnp.int32(1)
+
+        return (t + 1, jnp.where(ok, 1, 0), new_active)
+
+    jax.lax.while_loop(cond, body,
+                       (0, 1, jnp.where(scores0 > 0.0, 1.0, 0.0)))
 
 
 @functools.partial(jax.jit, static_argnames=("iou_thres", "max_det"))
@@ -80,7 +97,7 @@ def nms_pallas(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
     # pad max_det to the lane width for a legal (1, max_det) output tile
     md = int(np.ceil(max_det / LANES) * LANES)
     kernel = functools.partial(_nms_kernel, n_rows=r, iou_thres=iou_thres,
-                               max_det=max_det)
+                               max_det=max_det, md_pad=md)
     idx, valid = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((md,), jnp.int32),
