@@ -121,3 +121,31 @@ def test_classes_filter_drops_box_not_reassigns():
     out = non_max_suppression(pred, conf_thres=0.25, classes=[1],
                               multi_label=True)[0]
     assert out.shape[0] == 1 and int(out[0, 5]) == 1
+
+
+def test_fixpoint_matches_sequential_greedy(rng):
+    """The Jacobi-fixpoint formulation (ops/nms._nms_fixpoint, the TPU
+    small-N path) == the sequential pick/suppress scan, including the
+    max_det truncation and validity mask."""
+    from multiyolov5_tpu.ops.nms import _nms_fixed, _nms_fixpoint
+    from multiyolov5_tpu.utils.boxes import xywh2xyxy
+    import jax.numpy as jnp
+
+    for trial in range(4):
+        n = 512
+        ctr = rng.rand(n, 2) * 600
+        wh = rng.rand(n, 2) * 120 + 4
+        boxes = np.asarray(xywh2xyxy(jnp.asarray(
+            np.concatenate([ctr, wh], 1), jnp.float32)))
+        scores = np.sort(rng.rand(n).astype(np.float32))[::-1].copy()
+        scores[-64:] = 0.0  # invalid tail
+        md = 100 if trial % 2 else 300
+        i1, v1 = map(np.asarray, _nms_fixed(jnp.asarray(boxes),
+                                            jnp.asarray(scores), 0.45, md))
+        i2, v2 = map(np.asarray, _nms_fixpoint(jnp.asarray(boxes),
+                                               jnp.asarray(scores), 0.45, md))
+        k1 = i1[np.asarray(v1, bool)]
+        k2 = i2[np.asarray(v2, bool)]
+        np.testing.assert_array_equal(np.sort(k1), np.sort(k2))
+        # greedy emits picks in descending-score order; so does the fixpoint
+        np.testing.assert_array_equal(k1, k2)
