@@ -62,21 +62,31 @@ def _kernel(x_ref, mh_ref, mwt_ref, idx_ref, *, c, wp, bh):
                             precision=prec)
     t = t.astype(x2d.dtype).reshape(wp, c, bh)  # view: splits sublanes
 
-    def plane_of(ci):
-        tc = t[:, ci, :]                 # (wp, bh) — static sublane slice
-        return jax.lax.dot_general(tc, mwt_ref[:],
-                                   dimension_numbers=(((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=prec)  # (bh, bw)
+    # Packed-key running argmax: a naive (compare + two selects + an int32
+    # index array) chain is VPU/VMEM-traffic bound and costs ~2.5x the whole
+    # rest of the kernel.  Instead each plane is bitcast to the signed-int
+    # ordering of f32 (flip the magnitude bits of negatives), the low
+    # ceil(log2(c)) (>=5) mantissa bits are replaced by (lim - ci), and the
+    # running reduction is a single jnp.maximum per plane.  Ties within
+    # 2^bits ulps (relative ~2^-18 for <=32 classes, ~1e-6 of 2M pixels at
+    # Cityscapes size) resolve to the smaller class id, same as
+    # jnp.argmax's first-max-wins.
+    bits = max(5, int(c - 1).bit_length())
+    lim = (1 << bits) - 1
 
-    best = plane_of(0)
-    idx = jnp.zeros(best.shape, jnp.int32)
+    def key_of(ci):
+        plane = jax.lax.dot_general(t[:, ci, :], mwt_ref[:],
+                                    dimension_numbers=(((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)  # (bh, bw)
+        pi = jax.lax.bitcast_convert_type(plane, jnp.int32)
+        mono = pi ^ ((pi >> 31) & jnp.int32(0x7FFFFFFF))
+        return (mono & jnp.int32(~lim)) | jnp.int32(lim - ci)
+
+    best = key_of(0)
     for ci in range(1, c):
-        plane = plane_of(ci)
-        upd = plane > best
-        idx = jnp.where(upd, ci, idx)
-        best = jnp.where(upd, plane, best)
-    idx_ref[:] = idx.astype(idx_ref.dtype)
+        best = jnp.maximum(best, key_of(ci))
+    idx_ref[:] = (jnp.int32(lim) - (best & jnp.int32(lim))).astype(idx_ref.dtype)
 
 
 def _pad_to(n: int, m: int) -> int:
