@@ -34,7 +34,8 @@ def main():
     from multiyolov5_tpu.engine import Engine, space_to_depth_host
     from multiyolov5_tpu.models.model import forward
     from multiyolov5_tpu.ops.nms import nms_batched
-    from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax
+    from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import (
+        upsample_argmax_planar)
     from multiyolov5_tpu.ops.resize import resize_bilinear
 
     iters = int(os.environ.get("BENCH_ITERS", 30))
@@ -78,9 +79,10 @@ def main():
                 cm = jnp.argmax(resize_bilinear(seg, orig_hw), -1)
             else:
                 # engine fast path: fused Pallas upsample+argmax from the
-                # 1/8-res head logits (the x8 upsample never runs either)
-                cm = upsample_argmax(seg, orig_hw,
-                                     via_hw=(seg.shape[1] * 8, seg.shape[2] * 8))
+                # planar 1/8-res head logits (the x8 upsample never runs
+                # either, and the logits stay in per-class planes)
+                cm = upsample_argmax_planar(
+                    seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
             out = out + cm.astype(jnp.float32).sum()
         return out
 

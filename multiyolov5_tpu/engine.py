@@ -25,7 +25,7 @@ from .models.config import ModelSpec, load_spec
 from .models.model import forward, init_model
 from .ops import stem as stem_lib
 from .ops.nms import nms_batched
-from .ops.pallas.upsample_argmax_kernel import upsample_argmax
+from .ops.pallas.upsample_argmax_kernel import upsample_argmax_planar
 from .ops.resize import resize_bilinear
 from .ops.nn import fuse_conv_bn
 from .utils import checkpoint as ckpt_lib
@@ -230,14 +230,15 @@ class Engine:
             cls_map = None
             if seg is not None:
                 if fuse_mask:
-                    # seg = 1/8-res logits; the kernel composes the head's x8
-                    # upsample with the frame resize (float64 matrices) and
-                    # argmaxes on-core.  (The earlier XLA-level fusion attempt,
-                    # ops/resize.resize2x_argmax, LOST in-pipeline — 1.66 vs
-                    # 1.56 ms/frame — this kernel wins: 0.21 vs 0.55 ms.)
-                    via = (seg.shape[1] * 8, seg.shape[2] * 8)
-                    cls_map = upsample_argmax(seg, orig_hw, via_hw=via,
-                                              align_corners=True)
+                    # seg = planar (B,C,h,w) 1/8-res logits; the kernel
+                    # composes the head's x8 upsample with the frame resize
+                    # (float64 matrices) and argmaxes on-core from the
+                    # per-class planes.  (The earlier XLA-level fusion
+                    # attempt, ops/resize.resize2x_argmax, LOST in-pipeline —
+                    # 1.66 vs 1.56 ms/frame — this kernel wins.)
+                    via = (seg.shape[2] * 8, seg.shape[3] * 8)
+                    cls_map = upsample_argmax_planar(seg, orig_hw, via_hw=via,
+                                                     align_corners=True)
                 else:
                     segf = resize_bilinear(seg, orig_hw, align_corners=True)
                     cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)

@@ -199,6 +199,9 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         * train: ``det`` = list of raw per-level maps (B,na,ny,nx,no),
           ``seg`` = logits (or [main, aux16, aux32] for BiSe).
         * eval:  ``det`` = (decoded (B,N,no), raw list), ``seg`` = logits.
+      Seg logits are NHWC at 8x input resolution, except with
+      ``seg_up=False``: PLANAR (B, C, h/8, w/8) head-res logits for the
+      fused upsample+argmax kernel.
       ``new_state`` contains updated BN running stats (train mode only).
     """
     if decode is None:

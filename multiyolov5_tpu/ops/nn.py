@@ -108,7 +108,8 @@ class Ctx:
     compute_dtype: jnp.dtype = jnp.float32
     pre_s2d: bool = False            # input already space-to-depth'd (stem)
     seg_up: bool = True              # False: seg heads return 1/8-res logits
-                                     # (the app fuses up8+up-to-frame+argmax)
+                                     # PLANAR (B,C,h,w) — the app fuses
+                                     # up8+up-to-frame+argmax from the planes
 
     def next_rng(self) -> Optional[jax.Array]:
         if self.rng is None:
@@ -119,7 +120,12 @@ class Ctx:
     # -- primitives ---------------------------------------------------------
 
     def conv2d(self, name: str, x: jnp.ndarray, k, s=1,
-               p=None, g: int = 1, d: int = 1) -> jnp.ndarray:
+               p=None, g: int = 1, d: int = 1,
+               out_nchw: bool = False) -> jnp.ndarray:
+        """NHWC conv.  ``out_nchw=True`` makes XLA write the result planar
+        (B, C, H, W) in the conv epilogue — used by the seg heads' final
+        logit conv so the fused mask kernel gets contiguous per-class
+        planes (an NHWC->planar relayout after the fact costs ~0.2 ms)."""
         w = self.p[name + ".weight"].astype(x.dtype)
         ph, pw = _pair(autopad(k, p, d))
         sh, sw = _pair(s)
@@ -129,12 +135,13 @@ class Ctx:
             padding=((ph, ph), (pw, pw)),
             rhs_dilation=(d, d),
             feature_group_count=g,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=("NHWC", "HWIO", "NCHW" if out_nchw else "NHWC"),
             preferred_element_type=x.dtype,
         )
         b = self.p.get(name + ".bias")
         if b is not None:
-            y = y + b.astype(y.dtype)
+            b = b.astype(y.dtype)
+            y = y + (b[:, None, None] if out_nchw else b)
         return y
 
     def batch_norm(self, name: str, x: jnp.ndarray) -> jnp.ndarray:

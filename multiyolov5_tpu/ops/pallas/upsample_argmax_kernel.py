@@ -141,6 +141,99 @@ def _upsample_argmax_tpu(x: jnp.ndarray, out_hw, via_hw, align_corners):
     return jnp.stack(outs)[:, :h0, :w0]
 
 
+def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, *, c):
+    """Planar input (c, hp, wp): each class plane is a native (sublane,
+    lane)-tiled 2-D slab — two standard matmuls per class, no relayouts.
+    This is the preferred form: feeding the NHWC kernel above from a
+    fixed-layout producer (a conv inside the same jit) forces a
+    lane-merge relayout of the (h, w, c) output that costs ~4 ms; the
+    seg heads emit planar logits directly (ops/nn.Ctx.conv2d out_nchw)."""
+    prec = (jax.lax.Precision.HIGHEST
+            if x_ref.dtype == jnp.float32 else None)
+    bits = max(5, int(c - 1).bit_length())
+    lim = (1 << bits) - 1
+    mh = mh_ref[:]
+    mwt = mwt_ref[:]
+
+    def key_of(ci):
+        plane = x_ref[ci]
+        t = jax.lax.dot_general(mh, plane,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        p = jax.lax.dot_general(t.astype(plane.dtype), mwt,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        pi = jax.lax.bitcast_convert_type(p, jnp.int32)
+        mono = pi ^ ((pi >> 31) & jnp.int32(0x7FFFFFFF))
+        return (mono & jnp.int32(~lim)) | jnp.int32(lim - ci)
+
+    best = key_of(0)
+    for ci in range(1, c):
+        best = jnp.maximum(best, key_of(ci))
+    idx_ref[:] = (jnp.int32(lim) - (best & jnp.int32(lim))).astype(
+        idx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "via_hw",
+                                             "align_corners"))
+def _upsample_argmax_planar_tpu(xp: jnp.ndarray, out_hw, via_hw,
+                                align_corners):
+    b, c, h, w = xp.shape
+    h0, w0 = out_hw
+    dt = xp.dtype
+    mh = _compose_matrix(h, h0, None if via_hw is None else via_hw[0],
+                         align_corners)
+    mw = _compose_matrix(w, w0, None if via_hw is None else via_hw[1],
+                         align_corners)
+    hp = _pad_to(h, 8)
+    wp = _pad_to(w, 128)
+    bh = min(256, _pad_to(h0, 256))
+    bw = min(2048, _pad_to(w0, 512))
+    h0p, w0p = _pad_to(h0, bh), _pad_to(w0, bw)
+    mh_p = np.zeros((h0p, hp), np.float64)
+    mh_p[:h0, :h] = mh
+    mwt_p = np.zeros((wp, w0p), np.float64)
+    mwt_p[:w, :w0] = mw.T
+    mh_j = jnp.asarray(mh_p, dt)
+    mwt_j = jnp.asarray(mwt_p, dt)
+    if (hp, wp) != (h, w):
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    kernel = functools.partial(_kernel_planar, c=c)
+    call = pl.pallas_call(
+        kernel,
+        grid=(h0p // bh, w0p // bw),
+        in_specs=[
+            pl.BlockSpec((c, hp, wp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, hp), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, bw), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h0p, w0p), jnp.uint8),
+    )
+    outs = [call(xp[i], mh_j, mwt_j) for i in range(b)]
+    return jnp.stack(outs)[:, :h0, :w0]
+
+
+def upsample_argmax_planar(xp: jnp.ndarray, out_hw, via_hw=None,
+                           align_corners: bool = True) -> jnp.ndarray:
+    """``upsample_argmax`` over planar (B, C, h, w) logits (the layout the
+    seg heads emit on the fused inference path)."""
+    out_hw = (int(out_hw[0]), int(out_hw[1]))
+    if via_hw is not None:
+        via_hw = (int(via_hw[0]), int(via_hw[1]))
+    if jax.default_backend() == "tpu":
+        return _upsample_argmax_planar_tpu(xp, out_hw, via_hw, align_corners)
+    return upsample_argmax(jnp.transpose(xp, (0, 2, 3, 1)), out_hw, via_hw,
+                           align_corners)
+
+
 def upsample_argmax(x: jnp.ndarray, out_hw, via_hw=None,
                     align_corners: bool = True) -> jnp.ndarray:
     """``argmax_c`` of ``x`` bilinearly upsampled to ``out_hw``.

@@ -80,3 +80,39 @@ def test_upsample_argmax_fallback_semantics():
         resize_bilinear(resize_bilinear(x, (16, 24)), (32, 48)), -1))
     assert got.dtype == np.uint8
     assert (got == ref).all()
+
+
+def test_upsample_argmax_planar_fallback():
+    """Planar wrapper == NHWC wrapper on transposed input (CPU path)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    xp = jnp.transpose(x, (0, 3, 1, 2))
+    from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import (
+        upsample_argmax_planar)
+    a = np.asarray(upsample_argmax(x, (32, 48), via_hw=(16, 24)))
+    b = np.asarray(upsample_argmax_planar(xp, (32, 48), via_hw=(16, 24)))
+    assert (a == b).all()
+
+
+@pytest.mark.parametrize("cfg", ["yolov5s_city_seg"])
+def test_seg_up_false_planar_logits_match(cfg):
+    """seg_up=False returns planar (B,C,h,w) logits numerically equal to the
+    pre-upsample NHWC logits of the default path."""
+    import jax
+    from multiyolov5_tpu.models.model import forward
+
+    eng = Engine(None, cfg=cfg, half=False)
+    spec, params, state = eng.spec, eng.params, eng.state
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    _, seg_up, _ = forward(spec, params, state, x, train=False, fused=True,
+                           decode=True, seg_up=True)
+    _, seg_pl, _ = forward(spec, params, state, x, train=False, fused=True,
+                           decode=True, seg_up=False)
+    assert seg_pl.shape == (1, spec.n_segcls, 8, 12)
+    # the seg_up path upsamples 8x; downsampling is lossy, so instead
+    # compare planar logits to an exact re-upsample
+    up = resize_bilinear(jnp.transpose(seg_pl, (0, 2, 3, 1)),
+                         (seg_up.shape[1], seg_up.shape[2]))
+    np.testing.assert_allclose(np.asarray(up), np.asarray(seg_up),
+                               atol=2e-5, rtol=1e-5)
