@@ -28,6 +28,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the in-graph-repeated pipeline takes minutes
+    # to compile cold through the tunnel; warm runs (same machine/XLA) start
+    # in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.lax as lax
     import jax.numpy as jnp
 

@@ -89,8 +89,14 @@ class Engine:
         self.fused = True
         if half:  # bf16 weights: fp32 master copies are pointless at inference
             self.params = jax.tree.map(
-                lambda t: t.astype(jnp.bfloat16)
+                lambda t: np.asarray(t).astype(jnp.bfloat16)
                 if t.dtype == jnp.float32 else t, self.params)
+        # everything above runs in host numpy (init / fuse / cast as eager
+        # device ops would pay one tunnel round-trip + tiny compile per
+        # parameter — ~19 min of Engine construction); one batched transfer
+        # puts the finished tree on device
+        self.params = jax.device_put(self.params)
+        self.state = jax.device_put(self.state)
         self.compute_dtype = jnp.bfloat16 if half else jnp.float32
         self._cache: Dict[Any, Any] = {}
         # folded 4x4-s2d stem (ops/stem.py): Focus + first stride-2 conv as

@@ -157,11 +157,11 @@ def init_linear(ini: Initializer, name: str, c_in: int, c_out: int,
                 bias: bool = True) -> None:
     bound = math.sqrt(2.0 / 6.0) * math.sqrt(3.0 / c_in)
     w = ini._rng.uniform(-bound, bound, size=(c_out, c_in))
-    ini.params[name + ".weight"] = jnp.asarray(w, jnp.float32)
+    ini.params[name + ".weight"] = np.asarray(w, np.float32)
     if bias:
         b_bound = 1.0 / math.sqrt(c_in)
-        ini.params[name + ".bias"] = jnp.asarray(
-            ini._rng.uniform(-b_bound, b_bound, size=(c_out,)), jnp.float32)
+        ini.params[name + ".bias"] = np.asarray(
+            ini._rng.uniform(-b_bound, b_bound, size=(c_out,)), np.float32)
 
 
 def linear(ctx: Ctx, name: str, x):
@@ -178,9 +178,9 @@ def init_transformer_layer(ini: Initializer, name: str, c: int) -> None:
         init_linear(ini, f"{name}.{q}", c, c, bias=False)
     # torch nn.MultiheadAttention params
     bound = math.sqrt(6.0 / (2 * c))  # xavier_uniform on (3c, c)
-    ini.params[name + ".ma.in_proj_weight"] = jnp.asarray(
-        ini._rng.uniform(-bound, bound, size=(3 * c, c)), jnp.float32)
-    ini.params[name + ".ma.in_proj_bias"] = jnp.zeros((3 * c,), jnp.float32)
+    ini.params[name + ".ma.in_proj_weight"] = np.asarray(
+        ini._rng.uniform(-bound, bound, size=(3 * c, c)), np.float32)
+    ini.params[name + ".ma.in_proj_bias"] = np.zeros((3 * c,), np.float32)
     init_linear(ini, name + ".ma.out_proj", c, c, bias=True)
     init_linear(ini, f"{name}.fc1", c, c, bias=False)
     init_linear(ini, f"{name}.fc2", c, c, bias=False)

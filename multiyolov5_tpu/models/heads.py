@@ -46,7 +46,7 @@ def initialize_detect_biases(params, name: str, nc: int, na: int,
             b[:, 5:] += math.log(0.6 / (nc - 0.99))
         else:
             b[:, 5:] += np.log(cf / cf.sum())
-        out[f"{name}.m.{i}.bias"] = jnp.asarray(b.reshape(-1), jnp.float32)
+        out[f"{name}.m.{i}.bias"] = np.asarray(b.reshape(-1), np.float32)
     return out
 
 

@@ -248,7 +248,11 @@ class Model:
     def __init__(self, cfg="yolov5s_city_seg", ch: int = 3,
                  nc: Optional[int] = None, anchors=None, seed: int = 0):
         self.spec = load_spec(cfg, ch, nc, anchors)
-        self.params, self.state = init_model(self.spec, seed)
+        params, state = init_model(self.spec, seed)  # host numpy
+        # one batched transfer (per-param eager jnp ops through the axon
+        # tunnel cost ~seconds each; see ops/nn.Initializer)
+        self.params = jax.device_put(params)
+        self.state = jax.device_put(state)
         self.fused = False
         self.names = list(self.spec.names)
 
@@ -262,7 +266,7 @@ class Model:
 
     def fuse(self) -> "Model":
         if not self.fused:
-            self.params = fuse_conv_bn(self.params, self.state)
+            self.params = jax.device_put(fuse_conv_bn(self.params, self.state))
             # drop running stats only for folded BNs — unfoldable standalone
             # BNs (BottleneckCSP/MixConv2d/DAPPM/nn.BatchNorm2d rows) still
             # read theirs in fused eval (same filter as Engine)

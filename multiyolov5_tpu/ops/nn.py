@@ -74,20 +74,24 @@ class Initializer:
         gain = math.sqrt(2.0 / (1 + 5.0))  # leaky_relu gain with a=sqrt(5)
         bound = gain * math.sqrt(3.0 / fan_in)
         w = self._rng.uniform(-bound, bound, size=(kh, kw, c_in // groups, c_out))
-        self.params[name + ".weight"] = jnp.asarray(w, jnp.float32)
+        # host numpy throughout: eager jnp.* here would dispatch one tiny
+        # device op (and often a fresh compile) per parameter — ~19 minutes
+        # of Engine construction through the axon tunnel.  Callers
+        # jax.device_put the finished tree once.
+        self.params[name + ".weight"] = np.asarray(w, np.float32)
         if bias:
             b_bound = 1.0 / math.sqrt(fan_in)
             b = self._rng.uniform(-b_bound, b_bound, size=(c_out,))
-            self.params[name + ".bias"] = jnp.asarray(b, jnp.float32)
+            self.params[name + ".bias"] = np.asarray(b, np.float32)
 
     def bn(self, name: str, c: int) -> None:
-        self.params[name + ".weight"] = jnp.ones((c,), jnp.float32)
-        self.params[name + ".bias"] = jnp.zeros((c,), jnp.float32)
-        self.state[name + ".running_mean"] = jnp.zeros((c,), jnp.float32)
-        self.state[name + ".running_var"] = jnp.ones((c,), jnp.float32)
+        self.params[name + ".weight"] = np.ones((c,), np.float32)
+        self.params[name + ".bias"] = np.zeros((c,), np.float32)
+        self.state[name + ".running_mean"] = np.zeros((c,), np.float32)
+        self.state[name + ".running_var"] = np.ones((c,), np.float32)
 
     def buffer(self, name: str, value) -> None:
-        self.state[name] = jnp.asarray(value, jnp.float32)
+        self.state[name] = np.asarray(value, np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -213,11 +217,13 @@ def fuse_conv_bn(params: Params, state: Params) -> Params:
     fused: Params = dict(params)
     bn_prefixes = sorted({k[: -len(".running_mean")] for k in state if k.endswith(".running_mean")})
     for bn in bn_prefixes:
-        gamma = params[bn + ".weight"]
-        beta = params[bn + ".bias"]
-        mean = state[bn + ".running_mean"]
-        var = state[bn + ".running_var"]
-        scale = gamma / jnp.sqrt(var + BN_EPS)
+        # numpy math: this runs at load time, per layer — eager device ops
+        # through the axon tunnel would compile per unique shape
+        gamma = np.asarray(params[bn + ".weight"])
+        beta = np.asarray(params[bn + ".bias"])
+        mean = np.asarray(state[bn + ".running_mean"])
+        var = np.asarray(state[bn + ".running_var"])
+        scale = gamma / np.sqrt(var + BN_EPS)
         # The conv owning this BN: reference Conv uses '<x>.conv'/'<x>.bn';
         # bare Sequentials use numeric siblings ('m.1.0' conv / 'm.1.1' bn).
         if bn.endswith(".bn"):
@@ -229,11 +235,11 @@ def fuse_conv_bn(params: Params, state: Params) -> Params:
         w = fused.get(wkey)
         if w is None or w.ndim != 4 or w.shape[3] != gamma.shape[0]:
             continue  # standalone / pre-activation BN: not foldable
-        fused[wkey] = w * scale.reshape(1, 1, 1, -1)
+        fused[wkey] = np.asarray(w) * scale.reshape(1, 1, 1, -1)
         prev_b = fused.pop(conv + ".bias", None)
         b = beta - mean * scale
         if prev_b is not None:
-            b = b + prev_b * scale
+            b = b + np.asarray(prev_b) * scale
         fused[conv + ".bias"] = b
         del fused[bn + ".weight"], fused[bn + ".bias"]
     return fused

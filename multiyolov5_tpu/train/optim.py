@@ -44,7 +44,9 @@ def classify_params(params: Params, state: Params) -> Dict[str, int]:
 
 
 def init_sgd_state(params: Params) -> Params:
-    return {k: jnp.zeros_like(v) for k, v in params.items()}
+    # host numpy: eager jnp.zeros_like per leaf pays a tunnel round-trip
+    # each; create_train_state device_puts the whole tree once
+    return {k: np.zeros_like(v) for k, v in params.items()}
 
 
 def sgd_update(params: Params, grads: Params, momentum_buf: Params,
@@ -68,9 +70,9 @@ def sgd_update(params: Params, grads: Params, momentum_buf: Params,
 
 
 def init_adam_state(params: Params):
-    return ({k: jnp.zeros_like(v) for k, v in params.items()},
-            {k: jnp.zeros_like(v) for k, v in params.items()},
-            jnp.zeros((), jnp.int32))
+    return ({k: np.zeros_like(v) for k, v in params.items()},
+            {k: np.zeros_like(v) for k, v in params.items()},
+            np.zeros((), np.int32))
 
 
 def adam_update(params, grads, adam_state, groups, lr, lr_bias, beta1,

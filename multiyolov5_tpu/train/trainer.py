@@ -58,19 +58,23 @@ def create_train_state(spec: ModelSpec, cfg: TrainConfig, seed: int = 0,
     if params is None:
         params, state = init_model(spec, seed)
     groups = optim.classify_params(params, state)
+    # build on host (numpy) then transfer once — eager per-leaf device ops
+    # pay a tunnel round-trip + tiny compile each (see ops/nn.Initializer)
+    np_params = {k: np.asarray(v) for k, v in params.items()}
+    np_state = {k: np.asarray(v) for k, v in state.items()}
     ts = {
-        "params": params,
-        "state": state,
-        "opt": (optim.init_adam_state(params) if cfg.adam
-                else optim.init_sgd_state(params)),
-        "accum": {k: jnp.zeros_like(v) for k, v in params.items()},
+        "params": np_params,
+        "state": np_state,
+        "opt": (optim.init_adam_state(np_params) if cfg.adam
+                else optim.init_sgd_state(np_params)),
+        "accum": {k: np.zeros_like(v) for k, v in np_params.items()},
         # EMA starts as a *copy* — sharing buffers with params breaks jit
         # donation (same buffer donated twice)
-        "ema_params": {k: jnp.array(v, copy=True) for k, v in params.items()},
-        "ema_state": {k: jnp.array(v, copy=True) for k, v in state.items()},
-        "updates": jnp.zeros((), jnp.int32),
+        "ema_params": {k: v.copy() for k, v in np_params.items()},
+        "ema_state": {k: v.copy() for k, v in np_state.items()},
+        "updates": np.zeros((), np.int32),
     }
-    return ts, groups
+    return jax.device_put(ts), groups
 
 
 def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],

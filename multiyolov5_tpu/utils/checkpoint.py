@@ -47,7 +47,7 @@ def from_torch_state_dict(sd: Dict[str, Any]) -> Tuple[Params, Params]:
             arr = np.transpose(arr, (2, 3, 1, 0))  # OIHW -> HWIO
         tgt = state if (any(k.endswith(s) for s in _STATE_SUFFIXES)
                         or any(k.endswith(b) for b in _BUFFER_NAMES)) else params
-        tgt[k] = jnp.asarray(arr)
+        tgt[k] = arr  # host numpy; callers device_put the finished tree
     return params, state
 
 
@@ -163,7 +163,7 @@ def _flatten(tree: Any, prefix: str, out: Dict[str, np.ndarray]) -> Any:
 def _unflatten(skel: Any, arrays: Dict[str, np.ndarray]) -> Any:
     if isinstance(skel, dict):
         if "__leaf__" in skel:
-            return jnp.asarray(arrays[skel["__leaf__"]])
+            return np.asarray(arrays[skel["__leaf__"]])
         if "__none__" in skel:
             return None
         if "__scalar__" in skel:
