@@ -172,9 +172,6 @@ class Engine:
             cm[list(classes)] = 1.0
             cmask = jnp.asarray(cm)
         cdt = self.compute_dtype
-        # close over the weights: baking them into the executable keeps the
-        # per-call dispatch to a single array argument (flattening ~350 param
-        # leaves per call costs more host time than the device compute)
         params, state = self.params, self.state
 
         # host s2d only applies when the model has a Focus stem and no TTA
@@ -190,17 +187,17 @@ class Engine:
         # never touch HBM.  TTA keeps the reference's materialized path.
         fuse_mask = not augment
 
-        def run(img_u8):
+        def run(p, img_u8):
             x = img_u8.astype(cdt) / 255.0
             if fold:
                 # x is the 4x4-s2d grid; rows 0-1 run as the folded stem
                 y1 = stem_lib.stem_apply(x, *stem_fw)
-                det, seg, _ = forward(spec, params, state, y1, train=False,
+                det, seg, _ = forward(spec, p, state, y1, train=False,
                                       fused=True, decode=True, start_layer=2,
                                       seg_up=not fuse_mask)
                 z = det[0]
             elif use_s2d:
-                det, seg, _ = forward(spec, params, state, x, train=False,
+                det, seg, _ = forward(spec, p, state, x, train=False,
                                       fused=True, decode=True, pre_s2d=True,
                                       seg_up=not fuse_mask)
                 z = det[0]
@@ -209,7 +206,7 @@ class Engine:
                 for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
                     xi = jnp.flip(x, 2) if fi == 3 else x
                     xi = scale_img_pad(xi, si, gs=max(spec.strides))
-                    det, _, _ = forward(spec, params, state, xi, train=False,
+                    det, _, _ = forward(spec, p, state, xi, train=False,
                                         fused=True, decode=True)
                     zi = det[0]
                     zi = zi.at[..., :4].divide(si)
@@ -217,10 +214,10 @@ class Engine:
                         zi = zi.at[..., 0].set(x.shape[2] - zi[..., 0])
                     zs.append(zi)
                 z = jnp.concatenate(zs, 1)
-                _, seg, _ = forward(spec, params, state, x, train=False,
+                _, seg, _ = forward(spec, p, state, x, train=False,
                                     fused=True, decode=False)
             else:
-                det, seg, _ = forward(spec, params, state, x, train=False,
+                det, seg, _ = forward(spec, p, state, x, train=False,
                                       fused=True, decode=True,
                                       seg_up=not fuse_mask)
                 z = det[0]
@@ -250,9 +247,53 @@ class Engine:
                     cls_map = jnp.argmax(segf, -1).astype(jnp.uint8)
             return boxes, valid, cls_map
 
-        fn = jax.jit(run)
+        # Optional (MULTIYOLOV5_LAYOUT_OPT=1): compile with AUTO parameter
+        # layouts and keep the weights stored in the conv-preferred layouts
+        # XLA picks — default row-major params get relaid per call (~0.12 ms
+        # of pure copies at 1024x512).  Off by default: the axon tunnel
+        # backend ignores custom device_put layouts, so the layout-pinned
+        # executable re-copies every parameter at entry and loses ~0.2 ms
+        # (A/B traced); on direct-attached TPUs this path removes the
+        # per-call weight relayouts.
+        try:
+            import os as _os
+            if not _os.environ.get("MULTIYOLOV5_LAYOUT_OPT"):
+                raise RuntimeError("layout opt disabled")
+            from jax.experimental.layout import Format, Layout
+
+            auto = jax.tree.map(lambda _: Format(Layout.AUTO), params)
+            jf = jax.jit(run, in_shardings=(auto, Format()))
+            img_sds = jax.ShapeDtypeStruct(
+                self._input_shape(in_hw, fold), jnp.uint8)
+            p_sds = jax.tree.map(
+                lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype), params)
+            fmts = jf.lower(p_sds, img_sds).compile().input_formats[0]
+            p_opt = jax.device_put(params, fmts[0])
+            # a jit with AUTO layouts only accepts ShapeDtypeStructs; the
+            # executable callable is a second jit pinned to the resolved
+            # layouts (it also serves other batch sizes under the same
+            # constraints)
+            jf2 = jax.jit(run, in_shardings=(fmts[0], fmts[1]))
+
+            def fn(img_u8, _jf=jf2, _p=p_opt):
+                return _jf(_p, img_u8)
+        except Exception:  # CPU backend / older API: closure jit
+            base = jax.jit(lambda img_u8: run(params, img_u8))
+
+            def fn(img_u8, _f=base):
+                return _f(img_u8)
         self._cache[key] = fn
         return fn
+
+    def _input_shape(self, in_hw, fold):
+        """Device input shape for a letterboxed (H, W) frame batch of 1
+        (s2d'd on host once/twice when the stem allows it)."""
+        h, w = in_hw
+        if fold:
+            return (1, h // 4, w // 4, 48)
+        if self.spec.rows and self.spec.rows[0].module == "Focus":
+            return (1, h // 2, w // 2, 12)
+        return (1, h, w, 3)
 
     def __call__(self, img: np.ndarray, orig_hw: Tuple[int, int],
                  conf: float = 0.25, iou: float = 0.45,

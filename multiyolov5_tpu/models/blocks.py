@@ -362,9 +362,18 @@ def init_ffm(ini: Initializer, name: str, c1: int, c2: int,
     ini.conv(name + ".channel_attention.3", c2 // reduction, c2, 1, bias=False)
 
 
-def ffm(ctx: Ctx, name: str, x, reduction: int = 1, is_cat: bool = True, k: int = 1):
-    fcat = jnp.concatenate(x, -1) if is_cat else x
-    feat = conv(ctx, name + ".convblk", fcat, k, 1)
+def ffm(ctx: Ctx, name: str, x, reduction: int = 1, is_cat: bool = True, k: int = 1,
+        split: bool = False):
+    """Feature Fusion Module (reference models/common.py:210-230).
+
+    ``split=True`` takes ``x`` as a list and feeds the convblk the virtual
+    concat via channel-sliced partial convs (exact; skips the materialized
+    concat — see Ctx.conv_bn_act_split)."""
+    if split:
+        feat = ctx.conv_bn_act_split(name + ".convblk", x, k)
+    else:
+        fcat = jnp.concatenate(x, -1) if is_cat else x
+        feat = conv(ctx, name + ".convblk", fcat, k, 1)
     a = global_avg_pool(feat)
     a = jax.nn.silu(ctx.conv2d(name + ".channel_attention.1", a, 1))
     a = jax.nn.sigmoid(ctx.conv2d(name + ".channel_attention.3", a, 1))
@@ -533,14 +542,19 @@ def init_pyramid_pooling(ini: Initializer, name: str, c_in: int) -> None:
         init_conv(ini, f"{name}.conv{i}", c_in, c_out, 1)
 
 
-def pyramid_pooling(ctx: Ctx, name: str, x, k=(1, 2, 3, 6)):
+def pyramid_pooling_feats(ctx: Ctx, name: str, x, k=(1, 2, 3, 6)):
+    """PSP branches as a list (caller concats — or conv-splits over them)."""
     h, w = x.shape[1], x.shape[2]
     feats = [x]
     for i, kk in enumerate(k, start=1):
         f = adaptive_avg_pool(x, kk)
         f = conv(ctx, f"{name}.conv{i}", f, 1)
         feats.append(resize_bilinear(f, (h, w), align_corners=True))
-    return jnp.concatenate(feats, -1)
+    return feats
+
+
+def pyramid_pooling(ctx: Ctx, name: str, x, k=(1, 2, 3, 6)):
+    return jnp.concatenate(pyramid_pooling_feats(ctx, name, x, k), -1)
 
 
 # ---------------------------------------------------------------------------

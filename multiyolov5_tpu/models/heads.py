@@ -115,8 +115,8 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     f32 = resize_bilinear(B.conv(ctx, name + ".m32.0", x32, 1), (h, w))
     feat = jnp.concatenate([f8, f16, f32], -1)
     y = B.rfb2(ctx, name + ".out.0", feat, d=(2, 3))
-    y = B.pyramid_pooling(ctx, name + ".out.1", y, k=(1, 2, 3, 6))
-    y = B.ffm(ctx, name + ".out.2", y, is_cat=False, k=3)
+    feats = B.pyramid_pooling_feats(ctx, name + ".out.1", y, k=(1, 2, 3, 6))
+    y = B.ffm(ctx, name + ".out.2", feats, k=3, split=True)
     if not ctx.seg_up:
         return ctx.conv2d(name + ".out.3", y, 1, out_nchw=True)
     y = ctx.conv2d(name + ".out.3", y, 1)

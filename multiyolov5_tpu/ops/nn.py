@@ -183,6 +183,36 @@ class Ctx:
             y = self.batch_norm(name + ".bn", y)
         return jax.nn.silu(y) if act else y
 
+    def conv_bn_act_split(self, name: str, parts, k: int = 1,
+                          act: bool = True) -> jnp.ndarray:
+        """``conv_bn_act`` over a *virtual* channel-concat of ``parts``.
+
+        conv(concat(xs), W) == sum_i conv(xs[i], W[:, :, off_i:off_i+c_i, :])
+        exactly — the concatenated activation never materializes.  XLA lays
+        out wide channel concats poorly (the PSP PyramidPooling concat costs
+        ~0.15 ms at 1024x512, a quarter of the whole forward); the partial
+        convs fuse into their producers instead."""
+        w = self.p[name + ".conv.weight"]
+        ph, pw = _pair(autopad(k, None, 1))
+        y = None
+        off = 0
+        for part in parts:
+            ci = part.shape[-1]
+            wi = jax.lax.slice_in_dim(w, off, off + ci, axis=2)
+            off += ci
+            yi = jax.lax.conv_general_dilated(
+                part, wi.astype(part.dtype), window_strides=(1, 1),
+                padding=((ph, ph), (pw, pw)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=part.dtype)
+            y = yi if y is None else y + yi
+        b = self.p.get(name + ".conv.bias")
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        if not self.fused:
+            y = self.batch_norm(name + ".bn", y)
+        return jax.nn.silu(y) if act else y
+
     def conv2d_bn_act(self, cname: str, bname: str, x: jnp.ndarray, k: int,
                       d: int = 1, act: bool = True) -> jnp.ndarray:
         """Bare nn.Conv2d + nn.BatchNorm2d + SiLU triple used inside
