@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.nn import Ctx, Initializer
 from ..ops.resize import (
@@ -85,6 +86,10 @@ def c3(ctx: Ctx, name: str, x, c1: int, c2: int, n: int = 1,
     for j in range(n):
         y1 = bottleneck(ctx, f"{name}.m.{j}", y1, c_, c_, shortcut, g, e=1.0)
     y2 = conv(ctx, name + ".cv2", x, 1, 1)
+    # NOTE: conv(concat)->summed-partial-convs (conv_bn_act_split) was A/B
+    # traced here and LOST (+21us device-true across the net): XLA already
+    # fuses these narrow 2-way concats into the consumer conv.  The split
+    # only wins for the PSP head's wide 5-way concat (models/heads.py).
     return conv(ctx, name + ".cv3", jnp.concatenate([y1, y2], -1), 1)
 
 
