@@ -171,3 +171,32 @@ def test_warmup_accumulate_endpoint():
     assert sched.accumulate_at(0, 64, 18) == 1
     # endpoint == steady state (no discontinuity at warmup end)
     assert sched.accumulate_at(wi, 64, 24) == sched.accumulate_at(wi + 1, 64, 24)
+
+
+def test_max_pool_same_separable_backward():
+    """Separable stride-1 maxpool: forward equals the 2-D window max, and
+    the backward routes gradients to the per-window argmax exactly like
+    torch's MaxPool2d backward on tie-free inputs."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+    from multiyolov5_tpu.ops.resize import max_pool_same
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 9, 11, 3).astype(np.float32)  # continuous: no ties
+    k = 5
+
+    fwd = np.asarray(max_pool_same(jnp.asarray(x), k))
+    xt = torch.tensor(np.transpose(x, (0, 3, 1, 2)), requires_grad=True)
+    yt = F.max_pool2d(xt, k, stride=1, padding=k // 2)
+    np.testing.assert_allclose(fwd, np.transpose(yt.detach().numpy(),
+                                                 (0, 2, 3, 1)), atol=0)
+
+    g = rng.randn(*fwd.shape).astype(np.float32)
+    grad = jax.grad(lambda t: (max_pool_same(t, k) * jnp.asarray(g)).sum())(
+        jnp.asarray(x))
+    yt.backward(torch.tensor(np.transpose(g, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(grad),
+                               np.transpose(xt.grad.numpy(), (0, 2, 3, 1)),
+                               atol=1e-6)
