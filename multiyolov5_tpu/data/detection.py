@@ -540,11 +540,20 @@ class DetectionLoader:
             batches = [idx[bins == b] for b in range(nb)]
             if self.drop_last and nb > 1 and len(batches[-1]) < len(batches[0]):
                 batches = batches[:-1]
-            return batches[self.shard::self.num_shards]
+            if self.num_shards > 1:
+                # rect bins have variable sizes; whole-batch interleave is
+                # only sound for independent per-host eval, not for a
+                # lock-stepped global batch
+                batches = batches[self.shard::self.num_shards]
+            return batches
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
         idx = idx[self.shard::self.num_shards]
+        if self.num_shards > 1:
+            # equal step counts on every host or collectives deadlock
+            # (DistributedSampler pads instead, utils/datasets.py:76)
+            idx = idx[: n // self.num_shards]
         nb = (len(idx) // self.bs if self.drop_last
               else math.ceil(len(idx) / self.bs))
         return [idx[i * self.bs:(i + 1) * self.bs] for i in range(nb)]

@@ -337,6 +337,9 @@ class SegLoader:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
         idx = idx[self.shard::self.num_shards]
+        if self.num_shards > 1:
+            # equal per-host step counts (see DetectionLoader._plan)
+            idx = idx[: len(self.ds) // self.num_shards]
         nb = (len(idx) // self.bs if self.drop_last
               else math.ceil(len(idx) / self.bs))
         return [idx[i * self.bs:(i + 1) * self.bs] for i in range(nb)]

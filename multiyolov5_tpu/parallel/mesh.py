@@ -28,8 +28,26 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    need = n_data * n_model
+    if need < 1 or len(devices) < need:
+        raise ValueError(
+            f"make_mesh: need {n_data}x{n_model}={need} devices but only "
+            f"{len(devices)} visible ({[d.platform for d in devices[:4]]}"
+            f"{'...' if len(devices) > 4 else ''}). For a virtual CPU mesh "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count={need} "
+            f"JAX_PLATFORMS=cpu before importing jax.")
+    dev = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(dev, axis_names=("data", "model"))
+
+
+def round_batch_for_devices(bs: int, n_dev: int) -> int:
+    """Round a batch size UP to the next multiple of ``n_dev`` so the batch
+    axis shards evenly.  The loud alternative to silently dropping to one
+    device (reference analog: DDP total_batch_size // world_size check,
+    train.py:585-621)."""
+    if n_dev <= 1:
+        return bs
+    return -(-bs // n_dev) * n_dev
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -42,14 +60,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place host arrays onto the mesh, batch-dim sharded."""
+    """Place host arrays onto the mesh, batch-dim sharded.
+
+    Single-process: plain device_put.  Multi-process (multi-host): each
+    process passes only its LOCAL shard of the batch (the loader's
+    ``shard``/``num_shards`` sharding — the DistributedSampler analog,
+    reference utils/datasets.py:76) and the global array is assembled
+    without any host ever materializing the full batch."""
     sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        tree)
 
 
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def host_barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """Coordination-service barrier — host RPC only, no device collectives.
+
+    Use between per-host compile and first execution: XLA:CPU's gloo
+    rendezvous gives a process only ~30s to join the first collective, so
+    hosts whose compiles skew by more than that would otherwise die with
+    'Gloo context initialization failed: GetKeyValue() timed out'.  No-op
+    in single-process mode."""
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed  # no public barrier API yet
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
