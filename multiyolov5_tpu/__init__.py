@@ -17,9 +17,12 @@ def _enable_compile_cache() -> None:
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Respect an embedding application's own setting (advisor round 1):
+        # only configure the cache dir when nothing has configured one yet.
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -55,6 +55,7 @@ class ModelSpec:
     seg_index: Optional[int] = None
     names: List[str] = field(default_factory=list)
     yaml: Dict[str, Any] = field(default_factory=dict)
+    ch_in: int = 3
 
     @property
     def na(self) -> int:
@@ -220,7 +221,7 @@ def compile_spec(d: Dict[str, Any], ch_in: int = 3, nc: Optional[int] = None,
         anchors=d["anchors"] if isinstance(d["anchors"], list) else [],
         strides=det_strides, save=save,
         detect_index=detect_index, seg_index=seg_index,
-        names=[str(j) for j in range(nc_)], yaml=d,
+        names=[str(j) for j in range(nc_)], yaml=d, ch_in=ch_in,
     )
     _check_anchor_order(spec)
     return spec

@@ -117,7 +117,7 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     y = B.rfb2(ctx, name + ".out.0", feat, d=(2, 3))
     feats = B.pyramid_pooling_feats(ctx, name + ".out.1", y, k=(1, 2, 3, 6))
     y = B.ffm(ctx, name + ".out.2", feats, k=3, split=True)
-    if not ctx.seg_up:
+    if not ctx.train and not ctx.seg_up:
         return ctx.conv2d(name + ".out.3", y, 1, out_nchw=True)
     y = ctx.conv2d(name + ".out.3", y, 1)
     return resize_bilinear(y, (h * 8, w * 8))
@@ -140,7 +140,7 @@ def seg_base(ctx: Ctx, name: str, xs, n: int, c_hid: int, shortcut: bool,
     y = B.c3(ctx, name + ".m.0", xs[0], ch[0], c_hid, n=n, shortcut=shortcut)
     y = B.c3spp(ctx, name + ".m.1", y, c_hid, int(c_hid * 1.5))
     y = ctx.dropout(y, 0.1)
-    if not ctx.seg_up:
+    if not ctx.train and not ctx.seg_up:
         return ctx.conv2d(name + ".m.3", y, 3, out_nchw=True)
     y = ctx.conv2d(name + ".m.3", y, 3)
     return resize_bilinear(y, (y.shape[1] * 8, y.shape[2] * 8))
@@ -217,7 +217,7 @@ def seg_lab(ctx: Ctx, name: str, xs: List[jnp.ndarray], c_hid: int):
     d = B.conv(ctx, name + ".detail.1", B.conv(ctx, name + ".detail.0", x_detail, 1), 3)
     y = B.ffm(ctx, name + ".decoder.0", [d, e], is_cat=True, k=1)
     y = B.conv(ctx, name + ".decoder.1", y, 3)
-    if not ctx.seg_up:
+    if not ctx.train and not ctx.seg_up:
         return ctx.conv2d(name + ".decoder.2", y, 1, out_nchw=True)
     y = ctx.conv2d(name + ".decoder.2", y, 1)
     return resize_bilinear(y, (y.shape[1] * 8, y.shape[2] * 8))

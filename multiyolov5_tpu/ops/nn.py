@@ -188,7 +188,11 @@ class Ctx:
         """``conv_bn_act`` over a *virtual* channel-concat of ``parts``.
 
         conv(concat(xs), W) == sum_i conv(xs[i], W[:, :, off_i:off_i+c_i, :])
-        exactly — the concatenated activation never materializes.  XLA lays
+        algebraically; numerically each partial conv is rounded to the
+        compute dtype before summation, so results can differ from the
+        single conv's one-rounding accumulation by ~1 ulp per part (most
+        visible under bf16).  The concatenated activation never
+        materializes.  XLA lays
         out wide channel concats poorly (the PSP PyramidPooling concat costs
         ~0.15 ms at 1024x512, a quarter of the whole forward); the partial
         convs fuse into their producers instead."""
