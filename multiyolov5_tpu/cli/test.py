@@ -44,7 +44,8 @@ def run(opt):
             verbose=opt.verbose,
             plots=opt.plots, save_dir=opt.save_dir,
             save_txt=opt.save_txt, save_conf=opt.save_conf,
-            save_json=opt.save_json)
+            save_json=opt.save_json,
+            anno_json=(opt.anno_json or data.get("anno_json")))
         results.update(P=mp, R=mr, mAP50=map50, mAP=map_)
 
     if not opt.det_only and data.get("segval") and spec.n_segcls:
@@ -97,6 +98,9 @@ def build_parser():
     p.add_argument("--save-hybrid", action="store_true",
                    help="unsupported placeholder (reference autolabel mode)")
     p.add_argument("--save-dir", default=".")
+    p.add_argument("--anno-json", default=None,
+                   help="COCO annotations json for official COCOeval on the "
+                        "--save-json dump (reference test.py:308-330)")
     return p
 
 

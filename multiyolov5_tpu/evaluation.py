@@ -58,7 +58,8 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
                        verbose: bool = False, single_cls: bool = False,
                        loss_hyp: Optional[Dict] = None,
                        save_txt: bool = False, save_conf: bool = False,
-                       save_json: bool = False):
+                       save_json: bool = False,
+                       anno_json: Optional[str] = None):
     """Returns ((P, R, mAP50, mAP, vbox, vobj, vcls), maps_per_class, times)."""
     import jax
     import jax.numpy as jnp
@@ -204,6 +205,29 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
         with open(pred_json, "w") as fh:
             json_lib.dump(jdict, fh)
         print(f"saved {len(jdict)} COCO-format predictions to {pred_json}")
+        # Official COCOeval on the dump (reference test.py:308-330).
+        # Import-guarded: the package isn't in this image; the JSON is
+        # always saved so the eval can also run offline elsewhere.
+        if anno_json is not None:
+            try:
+                from pycocotools.coco import COCO
+                from pycocotools.cocoeval import COCOeval
+
+                anno = COCO(str(anno_json))
+                pred = anno.loadRes(str(pred_json))
+                ce = COCOeval(anno, pred, "bbox")
+                img_ids = [j["image_id"] for j in jdict]
+                if all(isinstance(i, int) for i in img_ids):
+                    ce.params.imgIds = sorted(set(img_ids))
+                ce.evaluate()
+                ce.accumulate()
+                ce.summarize()
+                map_, map50 = float(ce.stats[0]), float(ce.stats[1])
+            except ImportError:
+                print("pycocotools not installed — skipping official "
+                      "COCOeval (predictions.json saved for offline eval)")
+            except Exception as e:  # malformed annotations etc., ref:328
+                print(f"COCOeval failed: {e}")
     print(f"Detection: {seen} images, {int(nt.sum())} labels | "
           f"P {mp:.4g} R {mr:.4g} mAP@.5 {map50:.4g} mAP@.5:.95 {map_:.4g}")
     return (mp, mr, map50, map_, *loss_avg.tolist()), maps, (t_inf, t_nms, seen)

@@ -1,0 +1,261 @@
+"""Full-corpus e2e parity at the reference's 1024 operating point.
+
+Round-1 verdict item 3: trained `pspv5s.pt` weights are unreachable (zero
+network egress — see ACCURACY.md), so the accuracy story is pinned by
+adversarial structural parity instead: the actual reference torch model
+(random init, fp32) vs our engine on ALL 9 bundled reference images
+(`/root/reference/data/images`) at img-size 1024, plus a quantified
+bf16-vs-fp32 drift report.
+
+Square (auto=False) letterboxing keeps every image at one (1024, 1024)
+device shape so the whole corpus shares a single XLA compile per dtype.
+
+Reference path restated: detect.py:134-193 (forward -> NMS -> scale_coords)
++ seg bilinear upsample/argmax (detect.py:176-183).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+IMG_SIZE = 1024
+# Detection operating point (reference detect.py default).  Plain random
+# init never exceeds conf≈0.0013 (obj bias init, heads.py:38-50), which
+# would make box parity vacuous — and near the noise floor every score is
+# a ~1e-4 tie, so NMS keep-sets are degenerate.  The staged fixture instead
+# inflates the Detect obj/cls biases to produce hundreds of confident,
+# well-separated boxes per image.
+CONF = 0.25
+
+
+@pytest.fixture(scope="module")
+def staged(tmp_path_factory):
+    import torch
+
+    from test_e2e_app_parity import _greedy_nms_torch
+
+    for name in ("onnx", "onnx.external_data_helper", "torchvision",
+                 "torchvision.ops"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+    sys.modules["torchvision.ops"].nms = _greedy_nms_torch
+    sys.path.insert(0, REF)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    import importlib
+    yolo = importlib.import_module("models.yolo")
+    torch.manual_seed(3)
+    model = yolo.Model(os.path.join(REF, "models", "yolov5s_city_seg.yaml"))
+    model.eval()
+    os.chdir(cwd)
+    # Confident sparse random detector.  Plain random init compresses every
+    # obj logit into ~[-6.7, -3.9] (spatial term w·x has std ~0.5): at any
+    # conf threshold the candidates are near-ties and NMS keep-sets are
+    # degenerate.  Fix: amplify the obj conv weights 8x (spreads the
+    # spatially-VARYING term; a bias alone is spatially uniform), then
+    # calibrate each detect level's obj bias on one real image so its 98th
+    # pct logit sits at +1 → ~1-2% of the 64512 anchors pass conf=0.25
+    # with scores spread over decades.  Class biases randomized for class
+    # diversity.
+    import cv2
+    det = [m for m in model.model if m.__class__.__name__ == "Detect"][0]
+    with torch.no_grad():
+        no = det.no  # 5 + nc per anchor
+        for conv in det.m:
+            for a in range(det.na):
+                conv.bias[a * no + 5: (a + 1) * no] = \
+                    torch.randn(no - 5) * 2.0
+        im0 = np.ascontiguousarray(
+            cv2.imread(os.path.join(REF, "data/images/bus.jpg"))[:, :, ::-1])
+        img = _letterbox_square(im0)
+        x = torch.from_numpy(
+            np.ascontiguousarray(img.transpose(2, 0, 1))).float() / 255.0
+
+        # One forward with hooks captures the RAW detect conv outputs (the
+        # sigmoid saturates, so post-activation measurement can't see the
+        # logit scale).  Per level: w·x = raw - bias; rescale the obj row so
+        # the top-3% tail of s·(w·x) spans ~4 logits, then set the bias so
+        # the 97th percentile sits just under the threshold.  Result: ~1-2%
+        # of anchors pass conf=0.25 with scores spread over decades.
+        raws = []
+        hooks = [conv.register_forward_hook(
+            lambda mod, inp, out: raws.append(out.detach()))
+            for conv in det.m]
+        n_img = 0
+        for path in _images():
+            im0_i = np.ascontiguousarray(cv2.imread(path)[:, :, ::-1])
+            xi = torch.from_numpy(np.ascontiguousarray(
+                _letterbox_square(im0_i).transpose(2, 0, 1))).float() / 255.0
+            model(xi[None])
+            n_img += 1
+        for h in hooks:
+            h.remove()
+        # per-conv raw outputs pooled over ALL images (image statistics vary
+        # wildly — bus.jpg-only calibration left the ID_*.jpg images with
+        # thousands of candidates, which saturates max_det and makes
+        # keep-sets truncation-order-sensitive); q99.5 of the pooled w·x
+        # keeps candidates moderate on every image
+        pooled = [torch.cat([raws[k * len(det.m) + ci].flatten(2)
+                             for k in range(n_img)], -1)
+                  for ci in range(len(det.m))]
+        for conv, raw in zip(det.m, pooled):
+            for a in range(det.na):
+                oc = a * no + 4
+                wx = raw[0, oc] - conv.bias[oc]
+                spread = float(wx.max() - wx.quantile(0.995)) or 1e-3
+                s = 4.0 / spread
+                conv.weight[oc] *= s
+                conv.bias[oc] = -1.1 - s * float(wx.quantile(0.995))
+    root = tmp_path_factory.mktemp("full_parity")
+    ckpt = root / "w.pt"
+    torch.save({"model": model, "ema": None}, str(ckpt))
+    yield {"ckpt": str(ckpt), "model": model}
+    sys.path.remove(REF)
+
+
+def _images():
+    d = os.path.join(REF, "data/images")
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.lower().endswith((".jpg", ".png")))
+
+
+def _letterbox_square(im0):
+    from multiyolov5_tpu.data.letterbox import letterbox
+    img, _, _ = letterbox(im0, (IMG_SIZE, IMG_SIZE), auto=False)
+    return img
+
+
+@pytest.fixture(scope="module")
+def ref_results(staged):
+    """Reference torch fp32 on all 9 images @1024 square letterbox."""
+    import cv2
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, REF)
+    from utils.general import non_max_suppression, scale_coords
+    sys.path.remove(REF)
+
+    model = staged["model"].float().fuse().eval()
+    out = {}
+    with torch.no_grad():
+        for path in _images():
+            im0 = np.ascontiguousarray(
+                cv2.imread(path)[:, :, ::-1])  # BGR->RGB like our engine
+            img = _letterbox_square(im0)
+            x = torch.from_numpy(
+                np.ascontiguousarray(img.transpose(2, 0, 1))).float() / 255.0
+            y = model(x[None])
+            pred = non_max_suppression(y[0][0], CONF, 0.45)
+            det = pred[0]
+            if len(det):
+                det[:, :4] = scale_coords(x.shape[1:], det[:, :4],
+                                          im0.shape).round()
+            seg = F.interpolate(y[1], (im0.shape[0], im0.shape[1]),
+                                mode="bilinear", align_corners=True)[0]
+            cls_map = seg.max(axis=0)[1].numpy().astype(np.uint8)
+            out[os.path.basename(path)] = {"det": det.numpy(),
+                                           "cls_map": cls_map,
+                                           "im0_shape": im0.shape,
+                                           "img": img}
+    return out
+
+
+def _run_ours(staged, ref_results, half):
+    from multiyolov5_tpu.engine import Engine
+
+    eng = Engine(staged["ckpt"], half=half)
+    out = {}
+    for name, want in ref_results.items():
+        dets, masks = eng(want["img"][None], tuple(want["im0_shape"][:2]),
+                          conf=CONF, iou=0.45)
+        out[name] = {"det": dets[0], "cls_map": masks[0]}
+    return out
+
+
+def _greedy_match(a, b, iou_thr=0.5):
+    """#boxes in `a` having an IoU>iou_thr same-class partner in `b`."""
+    if not len(a) or not len(b):
+        return 0
+    ax1, ay1, ax2, ay2 = a[:, 0:1], a[:, 1:2], a[:, 2:3], a[:, 3:4]
+    bx1, by1, bx2, by2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    iw = np.clip(np.minimum(ax2, bx2) - np.maximum(ax1, bx1), 0, None)
+    ih = np.clip(np.minimum(ay2, by2) - np.maximum(ay1, by1), 0, None)
+    inter = iw * ih
+    union = ((ax2 - ax1) * (ay2 - ay1)
+             + (bx2 - bx1) * (by2 - by1) - inter + 1e-9)
+    iou = inter / union
+    same = a[:, 5:6] == b[None, :, 5]
+    return int(((iou > iou_thr) & same).any(1).sum())
+
+
+def test_fp32_parity_all_images(staged, ref_results):
+    """fp32: per-image box sets + class maps match the reference.
+
+    Counts must agree within ±2 (fp32 convolution rounding differs between
+    XLA and torch by ~1 ulp, so candidates exactly AT conf=0.25 can flip),
+    ≥97% of boxes must pair up at IoU>0.75 with the same class, and class
+    maps must be ≥99.9% pixel-identical.
+    """
+    ours = _run_ours(staged, ref_results, half=False)
+    for name, want in ref_results.items():
+        got = ours[name]
+        a, b = want["det"], got["det"]
+        if len(a) == 300 or len(b) == 300:
+            # max_det truncation: the rank-300 boundary is tie-sensitive
+            # (and our max_nms=4096 pre-cap vs the reference's 30000 can
+            # shift the deep tail); compare the unambiguous top half
+            a, b = a[:150], b[:150]
+        else:
+            assert abs(len(b) - len(a)) <= 2, \
+                f"{name}: {len(b)} vs {len(a)} boxes"
+        if len(a):
+            matched = _greedy_match(a, b, iou_thr=0.75)
+            assert matched >= 0.97 * min(len(a), len(b)), \
+                f"{name}: {matched}/{len(a)} matched"
+        mismatch = (got["cls_map"] != want["cls_map"]).mean()
+        assert mismatch < 1e-3, f"{name}: {mismatch:.4%} mask mismatch"
+
+
+def test_bf16_drift_report(staged, ref_results):
+    """bf16 vs reference fp32: quantified drift (the serving configuration).
+
+    Prints a per-image drift table (captured in ACCURACY.md) and asserts
+    the drift stays within serving tolerances: ≥99% mask pixel agreement
+    and ≥95% of fp32 boxes with conf>0.30 recovered at IoU>0.5 with
+    matching class.  The 0.05 conf margin is deliberate: the calibrated
+    fixture stacks most candidates just above the 0.25 threshold, where
+    bf16's ~0.5% score error flips inclusion — that's threshold flicker,
+    not detection drift, and a production conf threshold measures the same
+    way (boxes near the cut are unstable under ANY reduced precision).
+    """
+    ours = _run_ours(staged, ref_results, half=True)
+    rows = []
+    for name, want in ref_results.items():
+        got = ours[name]
+        a, b = want["det"], got["det"]
+        if len(a) == 300 or len(b) == 300:  # truncation boundary (see fp32)
+            a, b = a[:150], b[:150]
+        a = a[a[:, 4] > 0.30]
+        n_ref, n_bf = len(a), len(b)
+        matched = _greedy_match(a, b)
+        mask_mm = float((got["cls_map"] != want["cls_map"]).mean())
+        rows.append((name, n_ref, n_bf, matched, mask_mm))
+    print("\nbf16 drift vs reference fp32 @1024 (name, ref_boxes(conf>0.3), "
+          "bf16_boxes, matched@iou0.5, mask_mismatch):")
+    for r in rows:
+        print(f"  {r[0]:45s} {r[1]:3d} {r[2]:3d} {r[3]:3d} {r[4]:.4%}")
+    tot_ref = sum(r[1] for r in rows)
+    tot_match = sum(r[3] for r in rows)
+    worst_mask = max(r[4] for r in rows)
+    print(f"  TOTAL boxes ref={tot_ref} matched={tot_match} "
+          f"worst_mask_mismatch={worst_mask:.4%}")
+    if tot_ref:
+        assert tot_match >= 0.95 * tot_ref, (tot_match, tot_ref)
+    assert worst_mask < 0.01, worst_mask
