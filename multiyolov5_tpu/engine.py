@@ -185,7 +185,14 @@ class Engine:
         # Pallas kernel computes argmax(up8 -> up-to-frame) straight from
         # them (ops/pallas/upsample_argmax_kernel.py) — the full-res logits
         # never touch HBM.  TTA keeps the reference's materialized path.
-        fuse_mask = not augment
+        # MULTIYOLOV5_EXACT_MASK=1 opts out of the packed-key fused mask
+        # kernel: its running argmax clears the low max(5, log2(c)) mantissa
+        # bits, so near-ties within ~32 ulps can pick a different class than
+        # exact argmax (advisor round 1).  The eval/mIoU path
+        # (evaluation.seg_validation) never uses the kernel and is always
+        # exact; this flag makes serving bit-exact too at ~6% mask-path cost.
+        import os as _os
+        fuse_mask = not augment and not _os.environ.get("MULTIYOLOV5_EXACT_MASK")
 
         def run(p, img_u8):
             x = img_u8.astype(cdt) / 255.0
@@ -221,9 +228,14 @@ class Engine:
                                       fused=True, decode=True,
                                       seg_up=not fuse_mask)
                 z = det[0]
+            # serving candidate cap 1024: at detect conf=0.25 real scenes
+            # yield far fewer candidates, and <=1024 rides the on-core
+            # Pallas fixpoint kernel (ops/pallas/nms_fixpoint_kernel.py);
+            # eval keeps the reference's 30000 cap (evaluation.py:115)
             boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,
                                        agnostic=agnostic, class_mask=cmask,
-                                       multi_label=multi_label, max_det=max_det)
+                                       multi_label=multi_label,
+                                       max_nms=1024, max_det=max_det)
             # letterbox unmap + clip + round (reference detect.py:169)
             xy = boxes[..., :4]
             xy = (xy - jnp.asarray([pad[0], pad[1], pad[0], pad[1]])) / gain
@@ -287,13 +299,20 @@ class Engine:
 
     def _input_shape(self, in_hw, fold):
         """Device input shape for a letterboxed (H, W) frame batch of 1
-        (s2d'd on host once/twice when the stem allows it)."""
+        (s2d'd on host once/twice when the stem allows it).
+
+        Layout note (advisor round 1): the LAYOUT_OPT path resolves XLA
+        parameter layouts against this batch-1 shape; other batch sizes run
+        through the same pinned-layout jit and recompile under the same
+        layout constraints.  Channel count follows the spec's input channels
+        (16*ch after two space-to-depths, 4*ch after one)."""
         h, w = in_hw
+        ch = self.spec.ch_in
         if fold:
-            return (1, h // 4, w // 4, 48)
+            return (1, h // 4, w // 4, 16 * ch)
         if self.spec.rows and self.spec.rows[0].module == "Focus":
-            return (1, h // 2, w // 2, 12)
-        return (1, h, w, 3)
+            return (1, h // 2, w // 2, 4 * ch)
+        return (1, h, w, ch)
 
     def __call__(self, img: np.ndarray, orig_hw: Tuple[int, int],
                  conf: float = 0.25, iou: float = 0.45,

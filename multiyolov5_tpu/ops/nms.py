@@ -73,7 +73,12 @@ def _nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
 
     _, keep, _ = jax.lax.while_loop(cond, body,
                                     (0, valid.astype(jnp.float32), True))
-    keepb = keep > 0.5
+    return _pack_keep(keep > 0.5, max_det)
+
+
+def _pack_keep(keepb: jnp.ndarray, max_det: int):
+    """(N,) bool keep mask -> (idx (max_det,), valid (max_det,))."""
+    n = keepb.shape[0]
     pos = jnp.cumsum(keepb) - 1       # output slot of each kept candidate
     take = keepb & (pos < max_det)
     slot = jnp.where(take, pos, max_det)
@@ -95,6 +100,19 @@ def _nms_fixed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_thres: float,
     """
     n = boxes.shape[0]
     if jax.default_backend() == "tpu":
+        from .pallas.nms_fixpoint_kernel import (FIXPOINT_PALLAS_MAX_N,
+                                                 nms_fixpoint_pallas)
+        if n <= FIXPOINT_PALLAS_MAX_N:
+            # whole fixpoint on-core: suppression matrix in VMEM, one MXU
+            # matvec per Jacobi round, no per-round XLA dispatch
+            pad = (-n) % 128
+            if pad:
+                boxes = jnp.concatenate(
+                    [boxes, jnp.zeros((pad, 4), boxes.dtype)], 0)
+                scores = jnp.concatenate(
+                    [scores, jnp.zeros((pad,), scores.dtype)], 0)
+            keep = nms_fixpoint_pallas(boxes, scores, iou_thres)[:n]
+            return _pack_keep(keep, max_det)
         if n <= _FIXPOINT_MAX_N:
             return _nms_fixpoint(boxes, scores, iou_thres, max_det)
         from .pallas.nms_kernel import nms_pallas
