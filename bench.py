@@ -21,9 +21,83 @@ BENCH_REPS.  Prints ONE JSON line {metric, value, unit, vs_baseline}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+
+def bench_train(out_path="TRAIN_BENCH.json"):
+    """Training throughput artifact (round-1 verdict item 5).
+
+    One full dual-task train step — det fwd/bwd (bs8 @832x832 mosaic size) +
+    seg fwd/bwd (bs8 @1024x512 Cityscapes crop) + SGD + EMA — repeated
+    in-graph, device-true.  Reference hot loop: train.py:335-401.  Writes
+    {train_step_ms, img_per_s} to TRAIN_BENCH.json (stdout keeps the single
+    inference JSON line for the driver).
+    """
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    from multiyolov5_tpu.data.hyps import load_hyp
+    from multiyolov5_tpu.models.config import load_spec
+    from multiyolov5_tpu.train.losses import pad_targets
+    from multiyolov5_tpu.train.trainer import (TrainConfig, create_train_state,
+                                               make_train_step)
+
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", 10))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    B = int(os.environ.get("BENCH_TRAIN_BS", 8))
+    hyp = load_hyp("scratch")
+    spec = load_spec("yolov5s_city_seg")
+    cfg = TrainConfig(hyp=hyp, batch_size=B, seg_batch_size=B, max_targets=128)
+    ts, groups = create_train_state(spec, cfg, seed=0)
+    step = make_train_step(spec, cfg, groups, donate=False)
+
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(B, 832, 832, 3) * 255).astype(np.uint8)
+    labels = []
+    for _ in range(B):
+        l = np.zeros((20, 5), np.float32)
+        l[:, 0] = rng.randint(0, spec.nc, 20)
+        l[:, 1:3] = rng.rand(20, 2) * 0.6 + 0.2
+        l[:, 3:5] = rng.rand(20, 2) * 0.2 + 0.05
+        labels.append(l)
+    tgts, mask = pad_targets(labels, cfg.max_targets)
+    seg_imgs = rng.rand(B, 512, 1024, 3).astype(np.float32)
+    seg_lbls = rng.randint(-1, spec.n_segcls, (B, 512, 1024))
+    args = tuple(jnp.asarray(a) for a in (imgs, tgts, mask, seg_imgs,
+                                          seg_lbls))
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def rep(ts0):
+        def body(i, carry):
+            ts_c, acc = carry
+            ts_n, m = step(ts_c, *args, key, jnp.float32(0.01),
+                           jnp.float32(0.01), jnp.float32(0.9),
+                           jnp.asarray(True))
+            return (ts_n, acc + m["total"])
+        return lax.fori_loop(0, iters, body, (ts0, jnp.float32(0)))
+
+    out = rep(ts)
+    float(out[1])  # compile + sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = rep(ts)
+        float(out[1])
+        best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
+    rec = {
+        "metric": "pspv5s_dual_train_step_bs8_832det_1024x512seg",
+        "train_step_ms": round(best * 1000, 2),
+        "img_per_s": round(B / best, 1),
+        "unit": "ms/step",
+    }
+    with open(out_path, "w") as fh:
+        json.dump(rec, fh)
+    print(f"train bench: {rec}", file=sys.stderr)
 
 
 def main():
@@ -109,6 +183,12 @@ def main():
         float(r)  # fetch-sync
         best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
     fps = 1.0 / best
+
+    if not os.environ.get("BENCH_SKIP_TRAIN"):
+        try:
+            bench_train()
+        except Exception as e:  # train artifact is best-effort extra
+            print(f"train bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": ("pspv5s" if cfg == "yolov5s_city_seg" else cfg)
