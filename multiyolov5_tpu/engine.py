@@ -24,7 +24,7 @@ import numpy as np
 from .models.config import ModelSpec, load_spec
 from .models.model import forward, init_model
 from .ops import stem as stem_lib
-from .ops.nms import nms_batched
+from .ops.nms import nms_batched, nms_from_raw
 from .ops.pallas.upsample_argmax_kernel import upsample_argmax_planar
 from .ops.resize import resize_bilinear
 from .ops.nn import fuse_conv_bn
@@ -194,20 +194,26 @@ class Engine:
         import os as _os
         fuse_mask = not augment and not _os.environ.get("MULTIYOLOV5_EXACT_MASK")
 
+        # decode-after-top-k (ops/nms.nms_from_raw) was A/B'd and REJECTED
+        # on TPU: the row gathers for the top-k candidates cost more than
+        # densely decoding all ~42k anchors (1005 vs 1040 FPS e2e, 200-iter
+        # device-true) — TPU gathers are slow, dense elementwise is nearly
+        # free.  Serving keeps the decoded path.
+        from_raw = False
+
         def run(p, img_u8):
             x = img_u8.astype(cdt) / 255.0
+            z = None
             if fold:
                 # x is the 4x4-s2d grid; rows 0-1 run as the folded stem
                 y1 = stem_lib.stem_apply(x, *stem_fw)
                 det, seg, _ = forward(spec, p, state, y1, train=False,
-                                      fused=True, decode=True, start_layer=2,
-                                      seg_up=not fuse_mask)
-                z = det[0]
+                                      fused=True, decode=not from_raw,
+                                      start_layer=2, seg_up=not fuse_mask)
             elif use_s2d:
                 det, seg, _ = forward(spec, p, state, x, train=False,
-                                      fused=True, decode=True, pre_s2d=True,
-                                      seg_up=not fuse_mask)
-                z = det[0]
+                                      fused=True, decode=not from_raw,
+                                      pre_s2d=True, seg_up=not fuse_mask)
             elif augment:  # TTA (reference models/yolo.py:273-291)
                 zs = []
                 for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
@@ -225,17 +231,24 @@ class Engine:
                                     fused=True, decode=False)
             else:
                 det, seg, _ = forward(spec, p, state, x, train=False,
-                                      fused=True, decode=True,
+                                      fused=True, decode=not from_raw,
                                       seg_up=not fuse_mask)
-                z = det[0]
             # serving candidate cap 1024: at detect conf=0.25 real scenes
             # yield far fewer candidates, and <=1024 rides the on-core
             # Pallas fixpoint kernel (ops/pallas/nms_fixpoint_kernel.py);
             # eval keeps the reference's 30000 cap (evaluation.py:115)
-            boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,
-                                       agnostic=agnostic, class_mask=cmask,
-                                       multi_label=multi_label,
-                                       max_nms=1024, max_det=max_det)
+            if from_raw:
+                anchors = state[f"model.{spec.detect_index}.anchors"]
+                boxes, valid = nms_from_raw(
+                    det, anchors, tuple(int(s) for s in spec.strides),
+                    conf_thres=conf, iou_thres=iou, agnostic=agnostic,
+                    class_mask=cmask, max_nms=1024, max_det=max_det)
+            else:
+                z = det[0] if not augment else z
+                boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,
+                                           agnostic=agnostic, class_mask=cmask,
+                                           multi_label=multi_label,
+                                           max_nms=1024, max_det=max_det)
             # letterbox unmap + clip + round (reference detect.py:169)
             xy = boxes[..., :4]
             xy = (xy - jnp.asarray([pad[0], pad[1], pad[0], pad[1]])) / gain

@@ -216,6 +216,87 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
     return jax.vmap(per_image)(pred)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("strides", "conf_thres", "iou_thres", "agnostic",
+                     "max_nms", "max_det"))
+def nms_from_raw(raw, anchors: jnp.ndarray, strides,
+                 conf_thres: float = 0.25, iou_thres: float = 0.45,
+                 agnostic: bool = False,
+                 class_mask: Optional[jnp.ndarray] = None,
+                 max_nms: int = 1024, max_det: int = 300):
+    """Decode-after-top-k NMS straight from the UNSIGMOIDED head maps.
+
+    The decoded-(B,N,no) path (detect_decode + nms_batched) sigmoids and
+    box-transforms all ~42k anchors, then throws away all but the top
+    ``max_nms``.  Here the full-population pass computes only the score
+    (sigma(obj) * sigma(max cls logit) — sigma is monotonic so the max
+    commutes), and the xy/wh decode (reference models/yolo.py:216-225)
+    runs on just the gathered top-k rows.  Selection and arithmetic are
+    identical to the decoded path (tested in tests/test_nms_kernels.py).
+
+    Args:
+      raw: list of (B, na, ny, nx, 5+nc) raw Detect maps (training layout).
+      anchors: (nl, na, 2) in grid units (state["model.<i>.anchors"]).
+      strides: tuple of per-level strides.
+    Returns: det (B, max_det, 6) [xyxy, conf, cls], valid (B, max_det).
+    """
+    b, _, _, _, no = raw[0].shape
+    nc = no - 5
+    flats, grids, strs, ancs = [], [], [], []
+    for i, x in enumerate(raw):
+        _, na, ny, nx, _ = x.shape
+        flats.append(x.reshape(b, na * ny * nx, no))
+        gy, gx = np.mgrid[0:ny, 0:nx].astype(np.float32)
+        g = np.stack([gx, gy], -1).reshape(1, ny * nx, 2)
+        grids.append(np.broadcast_to(g, (na, ny * nx, 2)).reshape(-1, 2))
+        strs.append(np.full((na * ny * nx, 1), strides[i], np.float32))
+        anc = anchors[i].astype(jnp.float32) * float(strides[i])  # (na, 2)
+        ancs.append(jnp.broadcast_to(anc[:, None, :],
+                                     (na, ny * nx, 2)).reshape(-1, 2))
+    flat = jnp.concatenate(flats, 1)                       # (B, N, no)
+    grid_t = jnp.asarray(np.concatenate(grids, 0))         # (N, 2)
+    str_t = jnp.asarray(np.concatenate(strs, 0))           # (N, 1)
+    anc_t = jnp.concatenate(ancs, 0)                       # (N, 2)
+    n = flat.shape[1]
+    k = min(max_nms, n)
+
+    def per_image(p):                                      # (N, no) raw
+        obj_l = p[:, 4].astype(jnp.float32)
+        cls_l = p[:, 5:].astype(jnp.float32)
+        obj = jax.nn.sigmoid(obj_l)
+        cls_best = jnp.max(cls_l, 1)
+        ci_all = jnp.argmax(cls_l, 1)
+        conf = obj * jax.nn.sigmoid(cls_best)
+        keep = (obj > conf_thres) & (conf > conf_thres)
+        if class_mask is not None:
+            # argmax over ALL classes first, then drop disallowed winners
+            # (reference utils/general.py:467-473 semantics)
+            keep = keep & (class_mask[ci_all] > 0)
+        conf = jnp.where(keep, conf, 0.0)
+        scores, bi = jax.lax.top_k(conf, k)
+        rows = p[bi].astype(jnp.float32)                   # (k, no)
+        y = jax.nn.sigmoid(rows[:, :4])
+        xy = (y[:, 0:2] * 2.0 - 0.5 + grid_t[bi]) * str_t[bi]
+        wh = jnp.square(y[:, 2:4] * 2.0) * anc_t[bi]
+        half = wh * 0.5
+        cand_box = jnp.concatenate([xy - half, xy + half], -1)
+        ci = ci_all[bi].astype(jnp.float32)
+        offset = jnp.where(agnostic, 0.0, ci * MAX_WH)
+        idx, valid = _nms_fixed(cand_box + offset[:, None], scores,
+                                iou_thres, max_det)
+        safe = jnp.clip(idx, 0, k - 1)
+        out = jnp.concatenate(
+            [cand_box[safe], scores[safe, None], ci[safe, None]], -1)
+        return jnp.where(valid[:, None], out, 0.0), valid
+
+    if jax.default_backend() == "tpu":
+        outs = [per_image(flat[i]) for i in range(b)]
+        return (jnp.stack([o[0] for o in outs], 0),
+                jnp.stack([o[1] for o in outs], 0))
+    return jax.vmap(per_image)(flat)
+
+
 def non_max_suppression(pred, conf_thres: float = 0.25, iou_thres: float = 0.45,
                         classes: Optional[Sequence[int]] = None,
                         agnostic: bool = False, multi_label: bool = False,

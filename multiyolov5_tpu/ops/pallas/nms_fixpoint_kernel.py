@@ -43,10 +43,14 @@ def _kernel(rows_ref, cols_ref, scores_ref, keep_ref, s_ref, *, n, iou_thres):
     iw = jnp.maximum(jnp.minimum(x2c, x2r) - jnp.maximum(x1c, x1r), 0.0)
     ih = jnp.maximum(jnp.minimum(y2c, y2r) - jnp.maximum(y1c, y1r), 0.0)
     inter = iw * ih                              # (n, n) [j, i]
-    iou = inter / (area_c + area_r - inter + 1e-9)
+    # division-free threshold: iou > t  <=>  inter*(1+t) > t*(area_j+area_i)
+    # (1M VPU divides cost ~45us; the multiply form builds S in ~9us).
+    # Rounds differently from the divide at ~1-ulp-off-threshold ties only.
     ji = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)   # j (suppressor)
     ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)   # i (victim)
-    s_ref[:] = jnp.where((iou > iou_thres) & (ji < ii), 1.0, 0.0)
+    s_ref[:] = jnp.where(
+        (inter * (1.0 + iou_thres) > iou_thres * (area_c + area_r))
+        & (ji < ii), 1.0, 0.0)
 
     valid = scores_ref[:] > 0.0                  # (1, n)
     keep0 = jnp.where(valid, 1.0, 0.0)

@@ -59,3 +59,45 @@ def test_kernels_agree_with_each_other(rng):
     seq = np.zeros(512, bool)
     seq[np.asarray(idx)[np.asarray(valid)]] = True
     np.testing.assert_array_equal(keep, seq)
+
+
+def test_nms_from_raw_matches_decoded_path(rng):
+    """Decode-after-top-k == decode-everything + nms_batched (engine serving
+    path vs the reference-shaped path) on random raw Detect maps."""
+    import jax.numpy as jnp
+    from multiyolov5_tpu.ops.nms import nms_batched, nms_from_raw
+
+    nc, na, strides = 7, 3, (8, 16, 32)
+    anchors = rng.rand(3, na, 2).astype(np.float32) * 4 + 1
+    raw = []
+    for s in strides:
+        ny, nx = 64 // (s // 8), 64 // (s // 8)
+        # logits biased so a moderate subset clears conf 0.25
+        r = rng.randn(1, na, ny, nx, 5 + nc).astype(np.float32)
+        r[..., 4] -= 1.0
+        raw.append(jnp.asarray(r))
+    # decoded path (reference models/yolo.py:216-225 formulas)
+    zs = []
+    for i, x in enumerate(raw):
+        x = np.asarray(x)
+        _, _, ny, nx, no = x.shape
+        y = 1 / (1 + np.exp(-x))
+        gy, gx = np.mgrid[0:ny, 0:nx].astype(np.float32)
+        grid = np.stack([gx, gy], -1)
+        xy = (y[..., :2] * 2 - 0.5 + grid) * strides[i]
+        wh = (y[..., 2:4] * 2) ** 2 * (
+            anchors[i] * strides[i]).reshape(1, na, 1, 1, 2)
+        z = np.concatenate([xy, wh, y[..., 4:]], -1)
+        zs.append(z.reshape(1, -1, no))
+    z = jnp.asarray(np.concatenate(zs, 1))
+
+    want_det, want_valid = nms_batched(z, conf_thres=0.25, iou_thres=0.45,
+                                       max_nms=1024)
+    got_det, got_valid = nms_from_raw(raw, jnp.asarray(anchors), strides,
+                                      conf_thres=0.25, iou_thres=0.45,
+                                      max_nms=1024)
+    np.testing.assert_array_equal(np.asarray(want_valid),
+                                  np.asarray(got_valid))
+    w, g = np.asarray(want_det)[0], np.asarray(got_det)[0]
+    m = np.asarray(want_valid)[0]
+    np.testing.assert_allclose(g[m], w[m], rtol=1e-4, atol=1e-3)
