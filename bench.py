@@ -120,7 +120,10 @@ def main():
         upsample_argmax_planar)
     from multiyolov5_tpu.ops.resize import resize_bilinear
 
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    # 30 in-graph iters (~30ms/rep) left the measurement at the mercy of the
+    # tunnel's ms-scale RTT jitter (round-1 numbers spread 958-1166 FPS run to
+    # run); 200+ iters amortize it to <2%
+    iters = int(os.environ.get("BENCH_ITERS", 200))
     reps = int(os.environ.get("BENCH_REPS", 3))
     weights = os.environ.get("BENCH_WEIGHTS", "")
     cfg = os.environ.get("BENCH_CFG", "yolov5s_city_seg")
@@ -142,10 +145,18 @@ def main():
     else:
         x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
+    use_pallas_stem = (fold and jax.default_backend() == "tpu"
+                       and not os.environ.get("MULTIYOLOV5_XLA_STEM"))
+    if use_pallas_stem:
+        from multiyolov5_tpu.ops.pallas.stem_kernel import stem_apply_pallas
+
     def body(x):
         xn = x.astype(jnp.bfloat16) / 255.0
         if fold:
-            y1 = stem_lib.stem_apply(xn, *stem_fw)
+            if use_pallas_stem:  # same gate as Engine's fused pipeline
+                y1 = stem_apply_pallas(xn, *stem_fw)
+            else:
+                y1 = stem_lib.stem_apply(xn, *stem_fw)
             det, seg, _ = forward(spec, params, state, y1, train=False,
                                   fused=True, decode=True, start_layer=2,
                                   seg_up=seg_up)

@@ -205,8 +205,17 @@ class Engine:
             x = img_u8.astype(cdt) / 255.0
             z = None
             if fold:
-                # x is the 4x4-s2d grid; rows 0-1 run as the folded stem
-                y1 = stem_lib.stem_apply(x, *stem_fw)
+                # x is the 4x4-s2d grid; rows 0-1 run as the folded stem.
+                # On TPU a Pallas kernel runs both convs on-core (one HBM
+                # round-trip instead of XLA's spatially-partitioned lowering
+                # + layout copies; ~144us vs ~558us standalone at 1024x512).
+                # MULTIYOLOV5_XLA_STEM=1 opts back into the XLA path.
+                if (jax.default_backend() == "tpu"
+                        and not _os.environ.get("MULTIYOLOV5_XLA_STEM")):
+                    from .ops.pallas.stem_kernel import stem_apply_pallas
+                    y1 = stem_apply_pallas(x, *stem_fw)
+                else:
+                    y1 = stem_lib.stem_apply(x, *stem_fw)
                 det, seg, _ = forward(spec, p, state, y1, train=False,
                                       fused=True, decode=not from_raw,
                                       start_layer=2, seg_up=not fuse_mask)

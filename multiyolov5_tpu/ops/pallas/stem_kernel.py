@@ -1,0 +1,117 @@
+"""Pallas TPU kernel for the folded YOLOv5 stem (ops/stem.py).
+
+XLA lowers the two folded stem convs (3x3 48->128 and 2x2 128->64 at
+256x128) with a spatially-partitioned strategy plus layout copies — ~127us
+device-true, 4x the arithmetic floor.  This kernel runs both convs (+SiLU)
+on-core: the padded input lives in VMEM once per batch item, conv1 is one
+im2col matmul per 3-row band (K=3*c_in lanes), conv2 is four K=c_mid
+matmuls, and only the final NHWC (B, H/4, W/4, c_out) activation is written
+back to HBM — the intermediate c_mid-channel map never leaves VMEM.
+
+Exact same math as ops/stem.stem_apply (reference stem: models/common.py
+Focus(3,c2,3) + Conv(c2,c2b,3,2), models/yolov5s_city_seg.yaml:17-18),
+verified in tests/test_stem_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROWS_PER_BLOCK = 32
+
+
+def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, cols, c_in,
+            c_mid, c_out):
+    """x_ref: (1, H+3, cols+3, c_in) padded input (2 halo rows/cols top/left,
+    1 bottom/right); out_ref: (1, R, cols, c_out) block at row r0."""
+    r_out = out_ref.shape[1]
+    r0 = pl.program_id(1) * r_out
+    r1 = r_out + 1                          # conv1 rows incl. conv2 halo
+    # conv1 col region incl. conv2 halo, padded to the sublane tile so the
+    # (r1, c1, K) -> (r1*c1, K) merge is a legal Mosaic shape cast
+    c1 = -(-(cols + 1) // 8) * 8
+    dt = x_ref.dtype
+
+    # conv1: one K=c_in matmul per tap (Mosaic can't lane-concat 48-lane
+    # vectors at unaligned offsets, so no im2col; the 9 small-K matmuls
+    # still beat XLA's spatially-partitioned lowering)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            m = x_ref[0, pl.ds(r0 + dy, r1),
+                      dx:dx + c1, :].reshape(r1 * c1, c_in)
+            part = jax.lax.dot_general(
+                m, w1_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    y1 = acc + b1_ref[:].astype(jnp.float32)
+    y1 = (y1 * jax.nn.sigmoid(y1)).astype(dt).reshape(r1, c1, c_mid)
+    # conv2's top/left padding zero-pads the Y1 MAP (stem_apply uses
+    # padding=((1,0),(1,0)) on y1), so at the global boundary the halo is
+    # zero — NOT conv1 applied to padded x
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (r1, c1, c_mid), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (r1, c1, c_mid), 1)
+    edge = (cols_i == 0) | ((rows_i == 0) & (pl.program_id(1) == 0))
+    y1 = jnp.where(edge, jnp.zeros_like(y1), y1)
+
+    # conv2: 2x2, stride 1 on the coarse grid (pad top/left = the y1 halo)
+    acc2 = None
+    for dy in range(2):
+        for dx in range(2):
+            m = y1[dy:dy + r_out, dx:dx + cols, :].reshape(r_out * cols,
+                                                           c_mid)
+            part = jax.lax.dot_general(
+                m, w2_ref[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc2 = part if acc2 is None else acc2 + part
+    y2 = acc2 + b2_ref[:].astype(jnp.float32)
+    y2 = (y2 * jax.nn.sigmoid(y2)).astype(dt)
+    out_ref[0] = y2.reshape(r_out, cols, c_out)
+
+
+@jax.jit
+def stem_apply_pallas(x48: jnp.ndarray, w1p: jnp.ndarray, b1p: jnp.ndarray,
+                      w2p: jnp.ndarray, b2p: jnp.ndarray) -> jnp.ndarray:
+    """x48: (B, H, W, c_in) normalized input on the 4x4 s2d grid (bf16/f32).
+    Returns (B, H, W, c_out) — layer 1's output, same as stem_apply."""
+    b, h, w, c_in = x48.shape
+    c_mid = w1p.shape[-1]
+    c_out = w2p.shape[-1]
+    dt = x48.dtype
+    rpb = ROWS_PER_BLOCK if h % ROWS_PER_BLOCK == 0 else h
+    # conv1 pad=1 everywhere; conv2 consumes one extra halo row/col at the
+    # top/left; right cols padded out to the kernel's sublane-aligned c1
+    c1 = -(-(w + 1) // 8) * 8
+    xp = jnp.pad(x48, ((0, 0), (2, 1), (2, c1 - w), (0, 0)))
+    grid = (b, h // rpb)
+    kernel = functools.partial(_kernel, cols=w, c_in=c_in, c_mid=c_mid,
+                               c_out=c_out)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            # whole padded image per batch item: revisited across the row
+            # grid (index_map ignores ri), so it's DMA'd once per bi
+            pl.BlockSpec((1, h + 3, c1 + 2, c_in),
+                         lambda bi, ri: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rpb, w, c_out),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), dt),
+        interpret=jax.default_backend() != "tpu",
+    )(xp, jnp.asarray(w1p, dt), jnp.asarray(b1p, jnp.float32),
+      jnp.asarray(w2p, dt), jnp.asarray(b2p, jnp.float32))

@@ -1,0 +1,46 @@
+"""Pallas folded-stem kernel vs the XLA stem_apply (interpret mode on CPU).
+
+Semantics target: ops/stem.stem_apply — itself verified exact against the
+reference Focus+Conv stem in tests/test_ops.py."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from multiyolov5_tpu.ops import stem as stem_lib
+from multiyolov5_tpu.ops.pallas.stem_kernel import stem_apply_pallas
+
+
+@pytest.mark.parametrize("b,h,w", [(1, 64, 96), (2, 32, 48)])
+def test_stem_kernel_matches_xla(rng, b, h, w):
+    c1 = 3
+    c2, c2b = 16, 24
+    w0 = rng.randn(3, 3, 4 * c1, c2).astype(np.float32) * 0.2
+    b0 = rng.randn(c2).astype(np.float32) * 0.1
+    w1 = rng.randn(3, 3, c2, c2b).astype(np.float32) * 0.2
+    b1 = rng.randn(c2b).astype(np.float32) * 0.1
+    w1p, b1p, w2p, b2p = stem_lib.fold_stem_weights(w0, b0, w1, b1)
+    x = rng.rand(b, h, w, 16 * c1).astype(np.float32)
+
+    want = np.asarray(stem_lib.stem_apply(jnp.asarray(x), w1p, b1p, w2p, b2p))
+    got = np.asarray(stem_apply_pallas(jnp.asarray(x), w1p, b1p, w2p, b2p))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_stem_kernel_bf16(rng):
+    c2, c2b = 16, 24
+    w0 = rng.randn(3, 3, 12, c2).astype(np.float32) * 0.2
+    b0 = rng.randn(c2).astype(np.float32) * 0.1
+    w1 = rng.randn(3, 3, c2, c2b).astype(np.float32) * 0.2
+    b1 = rng.randn(c2b).astype(np.float32) * 0.1
+    w1p, b1p, w2p, b2p = stem_lib.fold_stem_weights(w0, b0, w1, b1)
+    x = jnp.asarray(rng.rand(1, 64, 64, 48), jnp.bfloat16)
+
+    want = np.asarray(stem_lib.stem_apply(x, w1p, b1p, w2p, b2p),
+                      dtype=np.float32)
+    got = np.asarray(stem_apply_pallas(x, w1p, b1p, w2p, b2p),
+                     dtype=np.float32)
+    # bf16 accumulation order differs (im2col vs XLA conv): tolerate ~1%
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
