@@ -201,6 +201,16 @@ class DetectionLoss:
 # ---------------------------------------------------------------------------
 
 
+def _select_class(values: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """values[..., t] via one-hot contraction. take_along_axis over the minor
+    (class) dim lowers to a TPU-hostile gather — and a scatter in the backward
+    pass — that costs ~64 ms at (8,512,1024,19) f32; the eq+multiply+reduce
+    form fuses into the surrounding elementwise graph (~0 marginal cost)."""
+    c = values.shape[-1]
+    onehot = (t[..., None] == jnp.arange(c, dtype=t.dtype)).astype(values.dtype)
+    return jnp.sum(values * onehot, axis=-1)
+
+
 def cross_entropy_seg(logits: jnp.ndarray, target: jnp.ndarray,
                       weight: Optional[jnp.ndarray] = None,
                       ignore_index: int = -1) -> jnp.ndarray:
@@ -208,7 +218,7 @@ def cross_entropy_seg(logits: jnp.ndarray, target: jnp.ndarray,
     valid = target != ignore_index
     t = jnp.where(valid, target, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    nll = -_select_class(logp, t)
     if weight is not None:
         wpix = weight[t]
         nll = nll * wpix
@@ -242,7 +252,7 @@ def seg_focal_loss(logits, target, gamma: float = 2.0, ignore_index: int = -1):
     ce = cross_entropy_seg(logits, target, None, ignore_index)
     t = jnp.where(target == ignore_index, 0, target).astype(jnp.int32)
     prob = jax.nn.softmax(logits.astype(jnp.float32), -1)
-    pt = jnp.take_along_axis(prob, t[..., None], -1)[..., 0]
+    pt = _select_class(prob, t)
     return jnp.mean((1.0 - pt) ** gamma * ce)
 
 
@@ -254,7 +264,7 @@ def ohem_ce_loss(preds, target, thresh: float = 0.7, ignore_index: int = -1,
         valid = target != ignore_index
         t = jnp.where(valid, target, 0).astype(jnp.int32)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-        nll = -jnp.take_along_axis(logp, t[..., None], -1)[..., 0]
+        nll = -_select_class(logp, t)
         nll = jnp.where(valid, nll, 0.0).reshape(-1)
         n_min = jnp.sum(valid) // 16
         th = -math.log(thresh)
@@ -281,13 +291,13 @@ def prob_ohem_ce_loss(preds, target, thresh: float = 0.5, min_kept: int = 256,
         valid = (target != ignore_index).reshape(-1)
         t = jnp.where(target == ignore_index, 0, target).astype(jnp.int32).reshape(-1)
         prob = jax.nn.softmax(logits.astype(jnp.float32), -1).reshape(-1, logits.shape[-1])
-        mask_prob = jnp.where(valid, jnp.take_along_axis(prob, t[:, None], 1)[:, 0], 1.0)
+        mask_prob = jnp.where(valid, _select_class(prob, t), 1.0)
         sorted_p = jnp.sort(mask_prob)
         kth = sorted_p[jnp.minimum(min_kept, sorted_p.shape[0]) - 1]
         th = jnp.maximum(kth, thresh)
         kept = valid & (mask_prob <= th)
         logp = jnp.log(jnp.clip(prob, 1e-12))
-        nll = -jnp.take_along_axis(logp, t[:, None], 1)[:, 0]
+        nll = -_select_class(logp, t)
         if class_weight is not None:
             w = jnp.asarray(class_weight)[t]
             nll = nll * w
