@@ -21,6 +21,7 @@ Design notes
 from __future__ import annotations
 
 import math
+import os as _os
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -197,6 +198,27 @@ class Ctx:
         ~0.15 ms at 1024x512, a quarter of the whole forward); the partial
         convs fuse into their producers instead."""
         w = self.p[name + ".conv.weight"]
+        # Coalesce narrow consecutive parts into >=128-channel groups first:
+        # XLA lowers a 32-channel 3x3 partial conv ~6x off the MXU floor
+        # (the starved K dim under-fills the systolic array), so the PSP
+        # FFM's [128, 32, 32, 32, 32] split cost 90us device-true at
+        # 1024x512.  Two 128-channel convs over [main, concat(branches)]
+        # run in ~30us; the 4x32 branch concat is 2 MB -- cheap, unlike the
+        # full 256-channel one (~60us materialized).  A Pallas im2col
+        # kernel for the fused pair was A/B'd at 50.6us and rejected: XLA's
+        # conv emitter wins once every part is lane-wide.
+        groups, cur, cur_c = [], [], 0
+        for part in parts:
+            cur.append(part)
+            cur_c += part.shape[-1]
+            if cur_c >= 128:
+                groups.append(cur[0] if len(cur) == 1 else
+                              jnp.concatenate(cur, -1))
+                cur, cur_c = [], 0
+        if cur:
+            groups.append(cur[0] if len(cur) == 1 else
+                          jnp.concatenate(cur, -1))
+        parts = groups
         ph, pw = _pair(autopad(k, None, 1))
         y = None
         off = 0
