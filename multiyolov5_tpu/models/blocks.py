@@ -23,6 +23,7 @@ import numpy as np
 from ..ops.nn import Ctx, Initializer
 from ..ops.resize import (
     adaptive_avg_pool,
+    adaptive_avg_pool_multi,
     avg_pool,
     global_avg_pool,
     max_pool_same,
@@ -548,11 +549,13 @@ def init_pyramid_pooling(ini: Initializer, name: str, c_in: int) -> None:
 
 
 def pyramid_pooling_feats(ctx: Ctx, name: str, x, k=(1, 2, 3, 6)):
-    """PSP branches as a list (caller concats — or conv-splits over them)."""
+    """PSP branches as a list (caller concats — or conv-splits over them).
+
+    All pool sizes share one pass over ``x`` (adaptive_avg_pool_multi);
+    the per-k loop re-read the 2 MB map four times (~20us at 1024x512)."""
     h, w = x.shape[1], x.shape[2]
     feats = [x]
-    for i, kk in enumerate(k, start=1):
-        f = adaptive_avg_pool(x, kk)
+    for i, f in enumerate(adaptive_avg_pool_multi(x, k), start=1):
         f = conv(ctx, f"{name}.conv{i}", f, 1)
         feats.append(resize_bilinear(f, (h, w), align_corners=True))
     return feats

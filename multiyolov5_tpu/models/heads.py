@@ -118,6 +118,13 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     feats = B.pyramid_pooling_feats(ctx, name + ".out.1", y, k=(1, 2, 3, 6))
     y = B.ffm(ctx, name + ".out.2", feats, k=3, split=True)
     if not ctx.train and not ctx.seg_up:
+        # out_nchw makes XLA propagate a T(2,128) tiling backward through
+        # the FFM convs (~50us over the MXU floor) — but every attempt to
+        # sever that propagation measured WORSE e2e: a bare transpose gets
+        # folded into the conv layout (no change), and optimization
+        # barriers before the logit conv (1136 FPS) or around an explicit
+        # 300 KB logit transpose (1156 FPS) both lose to just accepting
+        # the odd layout (1170 FPS).  Keeping the direct planar conv.
         return ctx.conv2d(name + ".out.3", y, 1, out_nchw=True)
     y = ctx.conv2d(name + ".out.3", y, 1)
     return resize_bilinear(y, (h * 8, w * 8))

@@ -157,11 +157,15 @@ def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, *, c):
 
     def key_of(ci):
         plane = x_ref[ci]
-        t = jax.lax.dot_general(mh, plane,
+        # column-expand first: (h, w)@(w, bw) is tiny (w lanes), and the
+        # row-expand then contracts over only h instead of w — 302 MFLOP
+        # vs 554 per class at 64x128 -> 1024x2048 (the other association
+        # order made the kernel ~35% slower)
+        t = jax.lax.dot_general(plane, mwt,
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
-        p = jax.lax.dot_general(t.astype(plane.dtype), mwt,
+        p = jax.lax.dot_general(mh, t.astype(plane.dtype),
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
