@@ -118,14 +118,26 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     feats = B.pyramid_pooling_feats(ctx, name + ".out.1", y, k=(1, 2, 3, 6))
     y = B.ffm(ctx, name + ".out.2", feats, k=3, split=True)
     if not ctx.train and not ctx.seg_up:
-        # out_nchw makes XLA propagate a T(2,128) tiling backward through
-        # the FFM convs (~50us over the MXU floor) — but every attempt to
-        # sever that propagation measured WORSE e2e: a bare transpose gets
-        # folded into the conv layout (no change), and optimization
-        # barriers before the logit conv (1136 FPS) or around an explicit
-        # 300 KB logit transpose (1156 FPS) both lose to just accepting
-        # the odd layout (1170 FPS).  Keeping the direct planar conv.
-        return ctx.conv2d(name + ".out.3", y, 1, out_nchw=True)
+        # Planar (B, S, h, w) logits for the fused mask kernel, expressed
+        # as a dot_general over the (H*W, C)-reshaped features.  The
+        # out_nchw conv made XLA propagate a T(2,128) tiling backward
+        # through the FFM convs (~50us over the MXU floor, plus relayout
+        # copies); the H*W-merging reshape is free only in the default
+        # layout, which anchors the head to clean layouts.  (A bare
+        # transpose after the conv gets folded back — no change; opt
+        # barriers before the conv / around the transposed logits lose
+        # 15-35 FPS.)
+        bsz, hh, ww, cc = y.shape
+        # conv weights are HWIO (1,1,C,S): reshape -> (C, S)
+        wl = ctx.p[name + ".out.3.weight"].reshape(cc, -1)
+        bl = ctx.p[name + ".out.3.bias"]
+        y2d = y.reshape(bsz * hh * ww, cc)
+        lg = jax.lax.dot_general(wl.astype(y.dtype), y2d,
+                                 (((0,), (1,)), ((), ())),
+                                 preferred_element_type=y.dtype)
+        lg = lg + bl.astype(lg.dtype)[:, None]              # (S, B*H*W)
+        lg = lg.reshape(-1, bsz, hh, ww)
+        return lg[:, 0][None] if bsz == 1 else jnp.moveaxis(lg, 1, 0)
     y = ctx.conv2d(name + ".out.3", y, 1)
     return resize_bilinear(y, (h * 8, w * 8))
 
