@@ -73,6 +73,17 @@ def train(opt):
 
     with open(opt.data) as fh:
         data = yaml.safe_load(fh)
+
+    # W&B artifact workflow (reference train.py:40 + wandb_utils.py:80-157):
+    # may swap dataset paths to downloaded artifacts and, on
+    # wandb-artifact:// resume, point opt.weights at the pulled last.npz
+    wandb_logger = None
+    if proc == 0:
+        from ..utils.loggers import WandbLogger
+        wandb_logger = WandbLogger(opt, save_dir.stem, None, data)
+        if wandb_logger.enabled and wandb_logger.data_dict:
+            data = wandb_logger.data_dict
+
     nc = 1 if opt.single_cls else int(data["nc"])
     names = ["item"] if opt.single_cls else data.get("names", [str(i) for i in range(nc)])
 
@@ -388,21 +399,30 @@ def train(opt):
             _, miou = seg_validation(spec, eval_params, eval_state,
                                      segval_loader, nclass=spec.n_segcls or 1)
         if proc == 0 and val_loader is not None:
+            wl = None
+            if wandb_logger is not None and wandb_logger.enabled:
+                wandb_logger.current_epoch = epoch
+                if wandb_logger.bbox_interval > 0 and \
+                        epoch % wandb_logger.bbox_interval == 0:
+                    wl = wandb_logger  # bbox debug panels this epoch
             results, maps, _ = evaluate_detection(
                 spec, eval_params, eval_state, val_loader, names=names,
-                conf_thres=0.001, iou_thres=0.6)
+                conf_thres=0.001, iou_thres=0.6, wandb_logger=wl)
         fi = float(fitness2(np.array(results[:4]).reshape(1, -1), miou)[0])
+        tags = ["train/box_loss", "train/obj_loss", "train/cls_loss",
+                "train/seg_loss", "metrics/precision", "metrics/recall",
+                "metrics/mAP_0.5", "metrics/mAP_0.5:0.95",
+                "metrics/mIoU", "metrics/fitness2", "x/lr0"]
+        vals = [*mloss[:3], msegloss, *results[:4], miou, fi,
+                sched.at(nb * (epoch + 1), epoch)[0]]
         if tb is not None:
             import tensorflow as tf
             with tb.as_default():
-                tags = ["train/box_loss", "train/obj_loss", "train/cls_loss",
-                        "train/seg_loss", "metrics/precision", "metrics/recall",
-                        "metrics/mAP_0.5", "metrics/mAP_0.5:0.95",
-                        "metrics/mIoU", "metrics/fitness2", "x/lr0"]
-                vals = [*mloss[:3], msegloss, *results[:4], miou, fi,
-                        sched.at(nb * (epoch + 1), epoch)[0]]
                 for tag, val in zip(tags, vals):
                     tf.summary.scalar(tag, float(val), step=epoch)
+        if wandb_logger is not None and wandb_logger.enabled:
+            wandb_logger.log({t: float(v) for t, v in zip(tags, vals)})
+            wandb_logger.end_epoch(best_result=fi > best_fitness)
         if proc == 0:
             with open(results_file, "a") as fh:
                 fh.write(f"{epoch} " + " ".join(
@@ -425,6 +445,12 @@ def train(opt):
             ckpt_lib.save_npz(str(last), ck)
             if fi > best_fitness:
                 ckpt_lib.save_npz(str(best), ck)
+            if wandb_logger is not None and wandb_logger.enabled and (
+                    final_epoch or (opt.save_period > 0
+                                    and epoch % opt.save_period == 0)):
+                # model artifact (reference wandb_utils.py:179-191)
+                wandb_logger.log_model(str(last), opt, epoch, fi,
+                                       best=fi > best_fitness)
         best_fitness = max(best_fitness, fi)
         print(f"epoch {epoch} done: fitness2 {fi:.4f} (best {best_fitness:.4f})"
               f" mIoU {miou:.4f}")
@@ -438,6 +464,8 @@ def train(opt):
         plot_results(results_file, save_dir)
     except Exception:
         pass
+    if wandb_logger is not None:
+        wandb_logger.finish()
     print(f"{opt.epochs - start_epoch} epochs completed in "
           f"{(time.time() - t0) / 3600:.3f} hours. Results: {save_dir}")
     return str(save_dir), best_fitness
@@ -563,13 +591,27 @@ def build_parser():
     p.add_argument("--remat", action="store_true")
     p.add_argument("--log-interval", type=int, default=10)
     p.add_argument("--no-tb", action="store_true", help="disable TensorBoard")
+    p.add_argument("--no-wandb", action="store_true", help="disable W&B")
+    p.add_argument("--upload-dataset", action="store_true",
+                   help="upload dataset as a W&B artifact")
+    p.add_argument("--bbox-interval", type=int, default=-1,
+                   help="W&B bbox-debug-panel epoch interval (-1 = epochs/10)")
+    p.add_argument("--artifact-alias", type=str, default="latest",
+                   help="dataset artifact version to use")
+    p.add_argument("--save-period", type=int, default=-1,
+                   help="log model artifact every N epochs (-1 = final only)")
     p.add_argument("--img-size-test", type=int, default=1024)
     return p
 
 
 def main(argv=None):
     opt = build_parser().parse_args(argv)
-    if opt.resume and not opt.weights:
+    from ..utils.loggers import check_wandb_resume
+    if check_wandb_resume(opt):
+        # wandb-artifact:// resume: WandbLogger pulls the checkpoint and the
+        # stored run config inside train() (reference wandb_utils.py:42-53)
+        pass
+    elif opt.resume and not opt.weights:
         # resolve the checkpoint and reuse the run's saved settings
         # (reference train.py:596-603)
         from ..utils.general import get_latest_run

@@ -59,7 +59,8 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
                        loss_hyp: Optional[Dict] = None,
                        save_txt: bool = False, save_conf: bool = False,
                        save_json: bool = False,
-                       anno_json: Optional[str] = None):
+                       anno_json: Optional[str] = None,
+                       wandb_logger=None):
     """Returns ((P, R, mAP50, mAP, vbox, vobj, vcls), maps_per_class, times)."""
     import jax
     import jax.numpy as jnp
@@ -135,6 +136,12 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
                 (h0, w0), ratio_pad = shapes[si]
                 predn[:, :4] = np.asarray(scale_coords(
                     (h, w), predn[:, :4], (h0, w0), ratio_pad))[:, :4]
+            if wandb_logger is not None and wandb_logger.val_table_map \
+                    and seen <= wandb_logger.log_imgs:
+                # per-image bbox debug panel (reference test.py:220-221)
+                wandb_logger.log_training_progress(
+                    predn, paths[si],
+                    dict(enumerate(names or map(str, range(spec.nc)))))
             if save_txt and shapes[si] is not None:
                 from .utils.boxes import xyxy2xywh
                 (h0, w0), _ = shapes[si]
