@@ -65,6 +65,48 @@ def detect_raw(ctx: Ctx, name: str, xs: List[jnp.ndarray], nc: int, na: int):
     return outs
 
 
+def detect_decode_planar(ctx: Ctx, name: str, xs: List[jnp.ndarray],
+                         strides: Sequence[int], nc: int, na: int):
+    """Inference decode straight from the head's input feature maps.
+
+    Same math as ``detect_decode`` (reference models/yolo.py:216-225), but
+    the 1x1 head conv runs as a dot_general over (B*H*W, C)-flattened
+    features and the sigmoid/grid/anchor transform stays planar
+    ((na*no, B*H*W) rows) until one final transpose.  detect_raw's
+    (B,ny,nx,na,no) reshape+transpose makes XLA assign a T(2,128) tiling
+    to the head conv's output and propagate it backward through every neck
+    conv at that scale (same mechanism the seg head hit, see seg_psp); the
+    H*W-merging reshape here is free only in the default layout, which
+    anchors the trunk to clean T(8,128) tilings.  Serving path only —
+    detect_raw still defines the training/eval raw maps.
+    """
+    no = nc + 5
+    anchors = ctx.s[name + ".anchors"]  # (nl, na, 2), in grid units
+    zs = []
+    for i, x in enumerate(xs):
+        b, ny, nx, cc = x.shape
+        wl = ctx.p[f"{name}.m.{i}.weight"].reshape(cc, na * no)
+        bl = ctx.p[f"{name}.m.{i}.bias"]
+        y2d = x.reshape(b * ny * nx, cc)
+        lg = jax.lax.dot_general(wl.astype(x.dtype), y2d,
+                                 (((0,), (1,)), ((), ())),
+                                 preferred_element_type=x.dtype)
+        lg = lg + bl.astype(lg.dtype)[:, None]              # (na*no, B*H*W)
+        y = jax.nn.sigmoid(lg.astype(jnp.float32))
+        y = y.reshape(na, no, b, ny * nx)
+        gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1).reshape(-1)
+        gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0).reshape(-1)
+        s = float(strides[i])
+        anc = anchors[i] * s                                # (na, 2)
+        px = (y[:, 0] * 2.0 - 0.5 + gx) * s                 # (na, B, H*W)
+        py = (y[:, 1] * 2.0 - 0.5 + gy) * s
+        pw = jnp.square(y[:, 2] * 2.0) * anc[:, 0:1, None]
+        ph = jnp.square(y[:, 3] * 2.0) * anc[:, 1:2, None]
+        z = jnp.concatenate([jnp.stack([px, py, pw, ph], 1), y[:, 4:]], 1)
+        zs.append(z.transpose(2, 0, 3, 1).reshape(b, na * ny * nx, no))
+    return jnp.concatenate(zs, 1)
+
+
 def detect_decode(ctx: Ctx, name: str, raw: List[jnp.ndarray],
                   strides: Sequence[int], nc: int):
     """Inference decode: sigmoid + grid/anchor transform + flatten+concat.

@@ -217,6 +217,7 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     for row in spec.rows[start_layer:]:
         if row.module == "Detect":
             xs = [cache[j] if j != -1 else y for j in row.f]
+            det_xs = xs
             det_raw = H.detect_raw(ctx, f"model.{row.i}", xs, spec.nc, spec.na)
             y = det_raw
         else:
@@ -231,8 +232,12 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             cache[row.i] = y
     det = det_raw
     if decode and det_raw is not None:
-        decoded = H.detect_decode(ctx, f"model.{spec.detect_index}", det_raw,
-                                  spec.strides, spec.nc)
+        # planar decode: when the caller drops det_raw (the serving engine
+        # uses only the decoded tensor), detect_raw's layout-poisoning
+        # reshape+transpose is dead code and the neck keeps clean layouts
+        decoded = H.detect_decode_planar(ctx, f"model.{spec.detect_index}",
+                                         det_xs, spec.strides, spec.nc,
+                                         spec.na)
         det = (decoded, det_raw)
     return det, seg_out, ctx.new_state
 

@@ -115,3 +115,25 @@ def test_hub_create_classes_channels():
     m1 = create("yolov5s", channels=1, classes=20, autoshape=False)
     k = "model.0.conv.conv.weight"  # Focus stem: 4*ch input channels
     assert m1.params[k].shape[2] == 4
+
+
+def test_planar_decode_matches_raw_decode():
+    """detect_decode_planar (dot_general serving decode) must equal the
+    reference-shaped detect_decode(raw) bit-for-bit in fp32 — it is the
+    same math on the same features, only the layout/severing differs."""
+    import jax.numpy as jnp
+    from multiyolov5_tpu.models import heads as H
+    from multiyolov5_tpu.models.config import load_spec
+    from multiyolov5_tpu.models.model import forward, init_model
+    from multiyolov5_tpu.ops.nn import Ctx
+
+    spec = load_spec("yolov5s_city_seg")
+    params, state = init_model(spec, seed=3)
+    x = np.random.RandomState(7).rand(2, 128, 192, 3).astype(np.float32)
+    (dec, raw), _, _ = forward(spec, params, state, x, train=False,
+                               decode=True)
+    ctx = Ctx(p=params, s=state, train=False, fused=False)
+    dec_raw = H.detect_decode(ctx, f"model.{spec.detect_index}", raw,
+                              spec.strides, spec.nc)
+    assert dec.shape == dec_raw.shape
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(dec_raw))
