@@ -46,12 +46,16 @@ def bench_train(out_path="TRAIN_BENCH.json"):
     from multiyolov5_tpu.train.trainer import (TrainConfig, create_train_state,
                                                make_train_step)
 
+    from multiyolov5_tpu.ops.stem import can_fold_stem, pack_stem_host
+
     iters = int(os.environ.get("BENCH_TRAIN_ITERS", 10))
     reps = int(os.environ.get("BENCH_REPS", 3))
     B = int(os.environ.get("BENCH_TRAIN_BS", 8))
     hyp = load_hyp("scratch")
     spec = load_spec("yolov5s_city_seg")
-    cfg = TrainConfig(hyp=hyp, batch_size=B, seg_batch_size=B, max_targets=128)
+    pack = can_fold_stem(spec) and not os.environ.get("BENCH_NO_PACK_STEM")
+    cfg = TrainConfig(hyp=hyp, batch_size=B, seg_batch_size=B,
+                      max_targets=128, pack_stem=pack)
     ts, groups = create_train_state(spec, cfg, seed=0)
     step = make_train_step(spec, cfg, groups, donate=False)
 
@@ -67,6 +71,9 @@ def bench_train(out_path="TRAIN_BENCH.json"):
     tgts, mask = pad_targets(labels, cfg.max_targets)
     seg_imgs = rng.rand(B, 512, 1024, 3).astype(np.float32)
     seg_lbls = rng.randint(-1, spec.n_segcls, (B, 512, 1024))
+    if pack:
+        imgs = pack_stem_host(imgs)
+        seg_imgs = pack_stem_host(seg_imgs)
     args = tuple(jnp.asarray(a) for a in (imgs, tgts, mask, seg_imgs,
                                           seg_lbls))
     key = jax.random.PRNGKey(0)

@@ -187,7 +187,7 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             train: bool = False, fused: bool = False,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
             compute_dtype=None, pre_s2d: bool = False, seg_up: bool = True,
-            start_layer: int = 0):
+            start_layer: int = 0, pre_s2d2: bool = False):
     """Run the network.
 
     Args:
@@ -214,6 +214,17 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     y = x
     det_raw = None
     seg_out = None
+    if pre_s2d2:
+        # x is the host-packed 4x4 s2d grid (B, H/4, W/4, 16*ch): rows 0-1
+        # run as phase-packed quarter-grid convs with live BN — same math,
+        # same params, ~6x faster in training (ops/stem.stem_train_apply).
+        # can_fold_stem(spec) guarantees rows 0/1 are the standard stem and
+        # are not in the save list.
+        assert start_layer == 0
+        from ..ops import stem as _stem
+        assert _stem.can_fold_stem(spec), "pre_s2d2 needs a foldable stem"
+        y = _stem.stem_train_apply(ctx, x)
+        start_layer = 2
     for row in spec.rows[start_layer:]:
         if row.module == "Detect":
             xs = [cache[j] if j != -1 else y for j in row.f]

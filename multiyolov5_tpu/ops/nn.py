@@ -149,14 +149,25 @@ class Ctx:
             y = y + (b[:, None, None] if out_nchw else b)
         return y
 
-    def batch_norm(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    def batch_norm(self, name: str, x: jnp.ndarray,
+                   phases: int = 1) -> jnp.ndarray:
+        """BN over NHWC channels.  ``phases=k`` treats the channel dim as k
+        phase-packed copies of the stored C channels (ops/stem
+        stem_train_apply): moments are computed per packed channel then
+        averaged across phases — the packed layout is a spatial
+        re-arrangement, so the multiset (hence the statistics) is identical
+        to BN on the unpacked map — and scale/shift are tiled back."""
         gamma = self.p[name + ".weight"]
         beta = self.p[name + ".bias"]
         if self.train:
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
-            n = x.shape[0] * x.shape[1] * x.shape[2]
+            ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            if phases > 1:
+                mean = mean.reshape(phases, -1).mean(0)
+                ex2 = ex2.reshape(phases, -1).mean(0)
+            var = ex2 - jnp.square(mean)
+            n = x.shape[0] * x.shape[1] * x.shape[2] * phases
             # torch updates running_var with the *unbiased* batch variance.
             unbiased = var * (n / max(n - 1, 1))
             self.new_state[name + ".running_mean"] = (
@@ -168,6 +179,9 @@ class Ctx:
             var = self.s[name + ".running_var"]
         scale = (gamma * jax.lax.rsqrt(var + BN_EPS)).astype(x.dtype)
         shift = (beta - mean * gamma * jax.lax.rsqrt(var + BN_EPS)).astype(x.dtype)
+        if phases > 1:
+            scale = jnp.tile(scale, phases)
+            shift = jnp.tile(shift, phases)
         return x * scale + shift
 
     def conv_bn_act(self, name: str, x: jnp.ndarray, k: int = 1, s: int = 1,

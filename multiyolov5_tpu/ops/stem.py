@@ -105,6 +105,102 @@ def fold_stem_from_params(params, c1: int = 3):
         params["model.1.conv.weight"], params["model.1.conv.bias"])
 
 
+def fold_focus_weight(w0: jnp.ndarray) -> jnp.ndarray:
+    """jnp (differentiable) analog of ``fold_stem_weights``'s first map.
+
+    w0: (3, 3, 4*c1, c2) stored Focus conv weight -> (3, 3, 16*c1, 4*c2)
+    quarter-grid conv whose output channel (P, co) is phase P of the raw
+    Focus-conv output.  BN-free: usable at TRAIN time (the fused fold in
+    ``fold_stem_weights`` is inference-only because it bakes both convs'
+    BN into the weights)."""
+    kk, _, c12, c2 = w0.shape
+    assert kk == 3, kk
+    out = jnp.zeros((3, 3, 4 * c12, 4 * c2), w0.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            pout = _PHASE[(p, q)]
+            for dy in range(3):
+                du = 1 + (p + dy - 1) // 2
+                pr = (p + dy - 1) % 2
+                for dx in range(3):
+                    dv = 1 + (q + dx - 1) // 2
+                    qc = (q + dx - 1) % 2
+                    pin = _PHASE[(pr, qc)]
+                    out = out.at[du, dv, pin * c12:(pin + 1) * c12,
+                                 pout * c2:(pout + 1) * c2].add(w0[dy, dx])
+    return out
+
+
+def fold_layer1_weight(w1: jnp.ndarray) -> jnp.ndarray:
+    """jnp (differentiable) analog of ``fold_stem_weights``'s second map.
+
+    w1: (3, 3, c2, c2b) layer-1 conv weight (stride 2 on the half grid)
+    -> (2, 2, 4*c2, c2b) stride-1 conv on the phase-packed quarter grid
+    (pad top/left 1).  BN-free."""
+    kk, _, c2, c2b = w1.shape
+    assert kk == 3, kk
+    out = jnp.zeros((2, 2, 4 * c2, c2b), w1.dtype)
+    for dy in range(3):
+        du = 1 + (dy - 1) // 2
+        p = (dy - 1) % 2
+        for dx in range(3):
+            dv = 1 + (dx - 1) // 2
+            q = (dx - 1) % 2
+            pin = _PHASE[(p, q)]
+            out = out.at[du, dv, pin * c2:(pin + 1) * c2].add(w1[dy, dx])
+    return out
+
+
+def stem_train_apply(ctx, x48: jnp.ndarray) -> jnp.ndarray:
+    """Rows 0-1 (Focus + Conv(3,2)) on the 4x4 s2d grid with LIVE BN.
+
+    The training profile's worst ops by far are the stem convs on the raw
+    3-channel frame (6x6-s2d Focus fold + 3x3-s2 layer 1): ~9.4 ms
+    fwd+grads at bs8/832px vs ~1.5 ms for this quarter-grid form — 3-ch
+    convs leave the MXU idle and drag 1 ms input relayout copies with
+    them.  The host feeds (B, H/4, W/4, 16*ch) (pack_stem_host); conv1'
+    runs phase-packed (4*c2 channels) with BN moments combined across the
+    4 phases (``phases=4`` — identical multiset, so identical statistics),
+    and layer 1 is the folded 2x2 quarter-grid conv.  Exact same math and
+    the same stored weights/params as rows 0-1 on the raw frame
+    (tests/test_train_stem_packed.py); both weight folds are
+    differentiable, so training updates the ORIGINAL checkpoint weights.
+
+    Reference semantics: models/common.py Focus.forward + Conv.forward
+    (the first two rows of every yolov5 yaml)."""
+    w0 = ctx.p["model.0.conv.conv.weight"]
+    c2 = w0.shape[-1]
+    dt = x48.dtype
+    y = jax.lax.conv_general_dilated(
+        x48, fold_focus_weight(w0).astype(dt), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt)
+    b0 = ctx.p.get("model.0.conv.conv.bias")
+    if b0 is not None:
+        y = y + jnp.tile(b0, 4).astype(dt)
+    if not ctx.fused:
+        y = ctx.batch_norm("model.0.conv.bn", y, phases=4)
+    y = jax.nn.silu(y)
+    w1 = ctx.p["model.1.conv.weight"]
+    y = jax.lax.conv_general_dilated(
+        y, fold_layer1_weight(w1).astype(dt), window_strides=(1, 1),
+        padding=((1, 0), (1, 0)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dt)
+    b1 = ctx.p.get("model.1.conv.bias")
+    if b1 is not None:
+        y = y + b1.astype(dt)
+    if not ctx.fused:
+        y = ctx.batch_norm("model.1.bn", y)
+    return jax.nn.silu(y)
+
+
+def pack_stem_host(x: np.ndarray) -> np.ndarray:
+    """(B, H, W, C) -> (B, H/4, W/4, 16C) host-side double space-to-depth
+    (phase order matching stem_train_apply / the engine's folded stem)."""
+    from ..engine import space_to_depth_host
+    return space_to_depth_host(space_to_depth_host(x))
+
+
 def stem_apply(x48: jnp.ndarray, w1p, b1p, w2p, b2p) -> jnp.ndarray:
     """x48: (B, H/4, W/4, 16*c1) normalized input on the 4x4 s2d grid.
     Returns layer-1's output (B, H/4, W/4, c2b) exactly."""

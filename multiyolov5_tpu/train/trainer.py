@@ -50,6 +50,10 @@ class TrainConfig:
     compute_dtype: Any = jnp.bfloat16  # bf16 on TPU (no GradScaler needed)
     remat: bool = False                # jax.checkpoint the backbone
     class_weight: Optional[np.ndarray] = None
+    # host feeds 4x4-s2d-packed images (ops/stem.pack_stem_host) and rows
+    # 0-1 run as quarter-grid convs (stem_train_apply): ~6x faster stem,
+    # exact same math/params.  Requires can_fold_stem(spec).
+    pack_stem: bool = False
 
 
 def create_train_state(spec: ModelSpec, cfg: TrainConfig, seed: int = 0,
@@ -95,10 +99,10 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
     fwd = forward
     if cfg.remat:
         def fwd(spec_, params, state, x, train=False, rng=None, decode=False,
-                fused=False):
+                fused=False, pre_s2d2=False):
             def inner(p, s, xx, r):
                 return forward(spec_, p, s, xx, train=train, rng=r,
-                               decode=decode, fused=fused)
+                               decode=decode, fused=fused, pre_s2d2=pre_s2d2)
             return jax.checkpoint(inner)(params, state, x, rng)
 
     def seg_loss_fn(seg_out, seg_lbls):
@@ -116,7 +120,8 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
                seg_lbls, rng):
         x = det_imgs.astype(cfg.compute_dtype) / 255.0
         det_raw, _, new_state = fwd(spec, params, state, x, train=True,
-                                    rng=rng, decode=False)
+                                    rng=rng, decode=False,
+                                    pre_s2d2=cfg.pack_stem)
         dloss, ditems = det_loss_fn(det_raw, det_tgts, det_mask)
         dloss = dloss * cfg.detgain * (4.0 if cfg.quad else 1.0)
         if not cfg.seg_enabled or spec.seg_index is None:
@@ -125,7 +130,8 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         state2 = {**state, **new_state}
         xs = seg_imgs.astype(cfg.compute_dtype)  # already /255'd by loader
         _, seg_out, new_state2 = fwd(spec, params, state2, xs, train=True,
-                                     rng=rng, decode=False)
+                                     rng=rng, decode=False,
+                                     pre_s2d2=cfg.pack_stem)
         # reference train.py:386 scales the mean CE by the DETECTION batch
         # size (the two tasks share one accumulated optimizer step)
         sloss = seg_loss_fn(seg_out, seg_lbls) * cfg.batch_size * cfg.seggain
