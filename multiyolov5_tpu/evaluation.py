@@ -68,6 +68,11 @@ def evaluate_detection(spec: ModelSpec, params, state, loader, names=None,
     iouv = np.linspace(0.5, 0.95, 10)
     stats: List = []
     seen = 0
+    # NOTE: t_inf/t_nms are host wall-clock around async dispatches — on a
+    # tunneled dev TPU they measure the tunnel RTT, not the chip (they can
+    # overstate device time 10x+).  They mirror the reference test.py's
+    # printed speeds; for trustworthy numbers use bench.py (in-graph
+    # repetition) or tools/trace_report.py (device-lane trace).
     t_inf = t_nms = 0.0
     confusion = ConfusionMatrix(nc=spec.nc) if plots else None
     loss_items = np.zeros(3)

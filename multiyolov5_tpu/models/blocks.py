@@ -46,6 +46,33 @@ def conv(ctx: Ctx, name: str, x, k: int = 1, s: int = 1, p: Optional[int] = None
     return ctx.conv_bn_act(name, x, k, s, p, g, d, act)
 
 
+def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
+                        act: bool = True):
+    """Fused-inference 3x3/stride-1 conv + SiLU via the on-core Pallas
+    kernel (ops/pallas/conv3x3_kernel.py) when eligible, else None.
+
+    Eligible = TPU backend, BN already folded (engine fuse), eval mode,
+    c_in a sublane multiple, and the padded input block fits VMEM.  Used
+    by the seg head's low-res convs where XLA's layout choices run 2-5x
+    off the MXU floor; as a custom call it also pins its operands to the
+    default layout, severing T(2,128) back-propagation into the trunk.
+    MULTIYOLOV5_XLA_SEGCONV=1 opts back into the XLA lowering."""
+    import os
+    if (not ctx.fused or ctx.train or x.ndim != 4 or x.shape[-1] % 8
+            or x.shape[1] * x.shape[2] * x.shape[-1] > (1 << 21)
+            or jax.default_backend() != "tpu"
+            or os.environ.get("MULTIYOLOV5_XLA_SEGCONV")):
+        return None
+    w = ctx.p.get(cname + ".weight")
+    if w is None or w.shape[0] != 3 or w.shape[1] != 3:
+        return None
+    b = ctx.p.get(cname + ".bias")
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), jnp.float32)
+    from ..ops.pallas.conv3x3_kernel import conv3x3_silu_pallas
+    return conv3x3_silu_pallas(x, w, b, d=d, act=act)
+
+
 def dw_groups(c1: int, c2: int) -> int:
     """DWConv groups = gcd(c1, c2), reference models/common.py:29-31."""
     return math.gcd(c1, c2)
@@ -375,9 +402,13 @@ def ffm(ctx: Ctx, name: str, x, reduction: int = 1, is_cat: bool = True, k: int 
     ``split=True`` takes ``x`` as a list and feeds the convblk the virtual
     concat via channel-sliced partial convs (exact; skips the materialized
     concat — see Ctx.conv_bn_act_split)."""
-    if split:
+    feat = None
+    if k == 3:
+        fcat = jnp.concatenate(x, -1) if isinstance(x, (list, tuple)) else x
+        feat = _conv3x3_fused_fast(ctx, name + ".convblk.conv", fcat)
+    if feat is None and split:
         feat = ctx.conv_bn_act_split(name + ".convblk", x, k)
-    else:
+    elif feat is None:
         fcat = jnp.concatenate(x, -1) if is_cat else x
         feat = conv(ctx, name + ".convblk", fcat, k, 1)
     a = global_avg_pool(feat)
@@ -485,9 +516,18 @@ def init_rfb2(ini: Initializer, name: str, c1: int, c2: int,
 def rfb2(ctx: Ctx, name: str, x, d=(2, 3), has_globel: bool = False):
     """Cascaded-dilation block, reference models/common.py:470-511."""
     x3 = conv(ctx, name + ".branch3.0", x, 1, 1)
-    x0 = conv(ctx, name + ".branch0.1", conv(ctx, name + ".branch0.0", x, 1), 3)
-    x1 = ctx.conv2d_bn_act(name + ".branch1.0", name + ".branch1.1", x0, 3, d=d[0])
-    x2 = ctx.conv2d_bn_act(name + ".branch2.0", name + ".branch2.1", x1, 3, d=d[1])
+    x0p = conv(ctx, name + ".branch0.0", x, 1)
+    x0 = _conv3x3_fused_fast(ctx, name + ".branch0.1.conv", x0p)
+    if x0 is None:
+        x0 = conv(ctx, name + ".branch0.1", x0p, 3)
+    x1 = _conv3x3_fused_fast(ctx, name + ".branch1.0", x0, d=d[0])
+    if x1 is None:
+        x1 = ctx.conv2d_bn_act(name + ".branch1.0", name + ".branch1.1",
+                               x0, 3, d=d[0])
+    x2 = _conv3x3_fused_fast(ctx, name + ".branch2.0", x1, d=d[1])
+    if x2 is None:
+        x2 = ctx.conv2d_bn_act(name + ".branch2.0", name + ".branch2.1",
+                               x1, 3, d=d[1])
     xs = [x0, x1, x2, x3]
     if has_globel:
         g = conv(ctx, name + ".branch4.1", global_avg_pool(x2), 1, 1)

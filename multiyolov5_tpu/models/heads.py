@@ -152,6 +152,11 @@ def init_seg_psp(ini: Initializer, name: str, n_segcls: int, c_hid: int,
 def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     x8, x16, x32 = xs
     h, w = x8.shape[1], x8.shape[2]
+    # layout-sever the head's 1x1 convs (dot_general over flattened
+    # pixels) — scoped to this head: globally it breaks the backbone's
+    # conv fusions (A/B: 987 vs 1264 FPS), here it starves the T(2,128)
+    # tiling that otherwise leaks into the neck
+    ctx.dot1x1 = not ctx.train
     f8 = B.conv(ctx, name + ".m8.0", x8, 1)
     f16 = resize_bilinear(B.conv(ctx, name + ".m16.0", x16, 1), (h, w))
     f32 = resize_bilinear(B.conv(ctx, name + ".m32.0", x32, 1), (h, w))
@@ -179,7 +184,9 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
                                  preferred_element_type=y.dtype)
         lg = lg + bl.astype(lg.dtype)[:, None]              # (S, B*H*W)
         lg = lg.reshape(-1, bsz, hh, ww)
+        ctx.dot1x1 = False
         return lg[:, 0][None] if bsz == 1 else jnp.moveaxis(lg, 1, 0)
+    ctx.dot1x1 = False
     y = ctx.conv2d(name + ".out.3", y, 1)
     return resize_bilinear(y, (h * 8, w * 8))
 

@@ -115,6 +115,8 @@ class Ctx:
     seg_up: bool = True              # False: seg heads return 1/8-res logits
                                      # PLANAR (B,C,h,w) — the app fuses
                                      # up8+up-to-frame+argmax from the planes
+    dot1x1: bool = False             # route 1x1 convs via dot_general
+                                     # (layout-severing; set regionally)
 
     def next_rng(self) -> Optional[jax.Array]:
         if self.rng is None:
@@ -132,6 +134,23 @@ class Ctx:
         logit conv so the fused mask kernel gets contiguous per-class
         planes (an NHWC->planar relayout after the fact costs ~0.2 ms)."""
         w = self.p[name + ".weight"].astype(x.dtype)
+        if (getattr(self, "dot1x1", False) and not self.train and self.fused
+                and not out_nchw and x.ndim == 4
+                and k == 1 and s == 1 and g == 1 and d == 1):
+            # 1x1 conv as a dot_general over (B*H*W, C)-flattened pixels.
+            # At serving batch sizes XLA assigns batch-1 1x1 convs a
+            # T(2,128) {3,0,2,1} tiling and propagates it through the
+            # trunk (then pays relayout copies back); the flattening
+            # reshape is free only in the default layout, anchoring the
+            # whole region to clean T(8,128) tiles — the same severing
+            # trick as the planar detect/seg-logit heads (models/heads.py).
+            bsz, hh, ww, ci = x.shape
+            y = jax.lax.dot_general(
+                x.reshape(bsz * hh * ww, ci), w.reshape(ci, -1),
+                (((1,), (0,)), ((), ())), preferred_element_type=x.dtype)
+            y = y.reshape(bsz, hh, ww, -1)
+            b = self.p.get(name + ".bias")
+            return y if b is None else y + b.astype(y.dtype)
         ph, pw = _pair(autopad(k, p, d))
         sh, sw = _pair(s)
         y = jax.lax.conv_general_dilated(
