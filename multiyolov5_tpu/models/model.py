@@ -8,6 +8,7 @@ tile onto the MXU.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -225,7 +226,22 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         assert _stem.can_fold_stem(spec), "pre_s2d2 needs a foldable stem"
         y = _stem.stem_train_apply(ctx, x)
         start_layer = 2
+    # region-scoped layout severing (inference only): from the neck on,
+    # route 1x1 convs via dot_general and eligible 3x3/s1 convs through the
+    # Pallas conv kernel.  A/B'd on the chip (PROGRESS round 2, pspv5s
+    # 1024x512): baseline 1301 FPS; dot1x1-from-neck 1372; BOTH from neck
+    # 1449; Pallas-3x3 alone 1172 (custom calls pay relayouts at every
+    # boundary unless the 1x1s between them are dot-severed); severing the
+    # backbone too 1255 (batch-1 backbone convs want XLA's
+    # spatial-in-sublanes conv emitters).  Env knobs re-scope for
+    # experiments; correctness is backend-independent (exact same math).
+    sever = fused and not train and jax.default_backend() == "tpu"
+    neck_start = len(spec.yaml.get("backbone", [])) if spec.yaml else 9999
+    dot_from = int(os.environ.get("MULTIYOLOV5_DOT1X1_FROM", neck_start))
+    p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))
     for row in spec.rows[start_layer:]:
+        ctx.dot1x1 = sever and row.i >= dot_from
+        ctx.pallas3x3 = sever and row.i >= p3_from
         if row.module == "Detect":
             xs = [cache[j] if j != -1 else y for j in row.f]
             det_xs = xs

@@ -117,6 +117,8 @@ class Ctx:
                                      # up8+up-to-frame+argmax from the planes
     dot1x1: bool = False             # route 1x1 convs via dot_general
                                      # (layout-severing; set regionally)
+    pallas3x3: bool = False          # route eligible 3x3/s1 convs through
+                                     # the Pallas conv kernel (set regionally)
 
     def next_rng(self) -> Optional[jax.Array]:
         if self.rng is None:
@@ -212,6 +214,18 @@ class Ctx:
         bias (reference utils/torch_utils.py:182-202 fuse_conv_and_bn) and the
         BN apply is skipped entirely (reference Conv.fuseforward).
         """
+        if (getattr(self, "pallas3x3", False) and self.fused
+                and not self.train and k == 3 and s == 1 and g == 1
+                and p is None and x.ndim == 4 and x.shape[-1] % 8 == 0
+                and x.shape[1] * x.shape[2] * x.shape[-1] <= (1 << 21)
+                and jax.default_backend() == "tpu"):
+            w = self.p[name + ".conv.weight"]
+            if w.shape[0] == 3 and w.shape[1] == 3:
+                from .pallas.conv3x3_kernel import conv3x3_silu_pallas
+                b = self.p.get(name + ".conv.bias")
+                if b is None:
+                    b = jnp.zeros((w.shape[-1],), jnp.float32)
+                return conv3x3_silu_pallas(x, w, b, d=d, act=bool(act))
         y = self.conv2d(name + ".conv", x, k, s, p, g, d)
         if not self.fused:
             y = self.batch_norm(name + ".bn", y)
