@@ -130,11 +130,14 @@ class Ctx:
 
     def conv2d(self, name: str, x: jnp.ndarray, k, s=1,
                p=None, g: int = 1, d: int = 1,
-               out_nchw: bool = False) -> jnp.ndarray:
+               out_nchw: bool = False, act: bool = False) -> jnp.ndarray:
         """NHWC conv.  ``out_nchw=True`` makes XLA write the result planar
         (B, C, H, W) in the conv epilogue — used by the seg heads' final
         logit conv so the fused mask kernel gets contiguous per-class
-        planes (an NHWC->planar relayout after the fact costs ~0.2 ms)."""
+        planes (an NHWC->planar relayout after the fact costs ~0.2 ms).
+        ``act=True`` applies SiLU — on the dot1x1 path this happens in the
+        flattened domain so XLA keeps it in the dot's epilogue (a separate
+        post-reshape SiLU becomes its own ~3-7us HBM round-trip per conv)."""
         w = self.p[name + ".weight"].astype(x.dtype)
         if (getattr(self, "dot1x1", False) and not self.train and self.fused
                 and not out_nchw and x.ndim == 4
@@ -150,9 +153,12 @@ class Ctx:
             y = jax.lax.dot_general(
                 x.reshape(bsz * hh * ww, ci), w.reshape(ci, -1),
                 (((1,), (0,)), ((), ())), preferred_element_type=x.dtype)
-            y = y.reshape(bsz, hh, ww, -1)
             b = self.p.get(name + ".bias")
-            return y if b is None else y + b.astype(y.dtype)
+            if b is not None:
+                y = y + b.astype(y.dtype)
+            if act:
+                y = jax.nn.silu(y)
+            return y.reshape(bsz, hh, ww, -1)
         ph, pw = _pair(autopad(k, p, d))
         sh, sw = _pair(s)
         y = jax.lax.conv_general_dilated(
@@ -168,7 +174,7 @@ class Ctx:
         if b is not None:
             b = b.astype(y.dtype)
             y = y + (b[:, None, None] if out_nchw else b)
-        return y
+        return jax.nn.silu(y) if act else y
 
     def batch_norm(self, name: str, x: jnp.ndarray,
                    phases: int = 1) -> jnp.ndarray:
@@ -215,20 +221,27 @@ class Ctx:
         BN apply is skipped entirely (reference Conv.fuseforward).
         """
         if (getattr(self, "pallas3x3", False) and self.fused
-                and not self.train and k == 3 and s == 1 and g == 1
+                and not self.train and k == 3 and s in (1, 2) and g == 1
                 and p is None and x.ndim == 4 and x.shape[-1] % 8 == 0
+                and (s == 1 or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                                and d == 1))
                 and x.shape[1] * x.shape[2] * x.shape[-1] <= (1 << 21)
                 and jax.default_backend() == "tpu"):
             w = self.p[name + ".conv.weight"]
             if w.shape[0] == 3 and w.shape[1] == 3:
-                from .pallas.conv3x3_kernel import conv3x3_silu_pallas
+                from .pallas.conv3x3_kernel import (conv3x3_silu_pallas,
+                                                    conv3x3s2_silu_pallas)
                 b = self.p.get(name + ".conv.bias")
                 if b is None:
                     b = jnp.zeros((w.shape[-1],), jnp.float32)
+                if s == 2:
+                    return conv3x3s2_silu_pallas(x, w, b, act=bool(act))
                 return conv3x3_silu_pallas(x, w, b, d=d, act=bool(act))
+        if self.fused:
+            return self.conv2d(name + ".conv", x, k, s, p, g, d,
+                               act=bool(act))
         y = self.conv2d(name + ".conv", x, k, s, p, g, d)
-        if not self.fused:
-            y = self.batch_norm(name + ".bn", y)
+        y = self.batch_norm(name + ".bn", y)
         return jax.nn.silu(y) if act else y
 
     def conv_bn_act_split(self, name: str, parts, k: int = 1,

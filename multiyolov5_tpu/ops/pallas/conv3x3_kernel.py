@@ -1,19 +1,24 @@
-"""Pallas TPU kernel: stride-1 (optionally dilated) 3x3 conv + SiLU.
+"""Pallas TPU kernels: stride-1 (optionally dilated) 3x3 conv + SiLU, and
+stride-2 3x3 conv + SiLU as a 2x2 conv over a space-to-depth'd grid.
 
 For the low-resolution tail of the network (the seg head's RFB2/FFM convs
-at 1/8 input resolution) XLA picks narrow T(2,128) tilings and pays
-relayout copies — its FFM 3x3 runs ~2.3x slower than the same conv
-compiled standalone (see PROGRESS round 2).  This kernel runs the conv as
-9 full-K-fill im2col dots on VMEM-resident rows (the same structure as
-ops/pallas/stem_kernel.py conv1), and being a custom call it anchors its
-operands/results to the clean default layout — severing backward layout
-propagation into the producers.
+and the neck's C3/downsample convs at 1/8..1/32 input resolution) XLA picks
+narrow T(2,128) tilings and pays relayout copies — its FFM 3x3 runs ~2.3x
+slower than the same conv compiled standalone, and the two neck stride-2
+downsample convs ran ~10x off their MXU floor (see PROGRESS round 2).
+These kernels run the conv as full-K-fill im2col dots on VMEM-resident
+rows (the same structure as ops/pallas/stem_kernel.py conv1), and being
+custom calls they anchor their operands/results to the clean default
+layout — severing backward layout propagation into the producers.
 
-Scope: stride 1, kernel 3x3, symmetric padding d (= dilation, torch
-autopad), NHWC, c_in % 8 == 0, whole (H+2d, W-padded, c_in) input block
-resident in VMEM per batch item.  Inference path only (BN pre-folded into
-w/b by the engine).  Exact same math as ops/nn.Ctx.conv_bn_act on the
-fused params — verified in tests/test_conv3x3_kernel.py.
+Scope: kernel 3x3, NHWC, c_in % 8 == 0, whole padded input block resident
+in VMEM per batch item.  Stride 1 supports dilation d (torch autopad);
+stride 2 packs the padded input into 2x2 phase blocks (channels x4) and
+runs a 2x2-tap conv whose grouped weights are the 3x3 taps scattered into
+their (row-parity, col-parity) phase slots — exact same math, and every
+dot contracts K = 4*c_in lanes (MXU-fill even for small c_in).  Inference
+path only (BN pre-folded into w/b by the engine).  Exact vs the XLA
+lowering — verified in tests/test_conv3x3_kernel.py.
 """
 
 from __future__ import annotations
@@ -26,17 +31,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, b_ref, out_ref, *, cols, c_in, c_out, d, act):
-    """x_ref: (1, H+2d, cols_p+2d, c_in) padded input; out_ref: (1, R, cols,
-    c_out) block at row r0.  w_ref: (3, 3, c_in, c_out); b_ref: (c_out,)."""
+def _kernel(x_ref, w_ref, b_ref, out_ref, *, cols, c_in, c_out, kh, kw, d,
+            act):
+    """x_ref: (1, R_out + (kh-1)*d, cols_p + (kw-1)*d, c_in) haloed input;
+    out_ref: (1, R, cols, c_out) block at row r0.  w_ref: (kh, kw, c_in,
+    c_out); b_ref: (c_out,)."""
     r_out = out_ref.shape[1]
     r0 = pl.program_id(1) * r_out
     # padded col count: output cols padded to the sublane tile so the
     # (r, c, K) -> (r*c, K) merge is a legal Mosaic shape cast
     cp = -(-cols // 8) * 8
     acc = None
-    for dy in range(3):
-        for dx in range(3):
+    for dy in range(kh):
+        for dx in range(kw):
             m = x_ref[0, pl.ds(r0 + dy * d, r_out),
                       dx * d:dx * d + cp, :].reshape(r_out * cp, c_in)
             part = jax.lax.dot_general(
@@ -50,6 +57,40 @@ def _kernel(x_ref, w_ref, b_ref, out_ref, *, cols, c_in, c_out, d, act):
     out_ref[0] = y.astype(x_ref.dtype).reshape(r_out, cp, c_out)[:, :cols]
 
 
+def _conv_haloed(xh: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                 out_rows: int, out_cols: int, d: int, act: bool,
+                 rows_per_block: int) -> jnp.ndarray:
+    """Shared pallas_call: xh already carries the (kh-1)*d / (kw-1)*d halo
+    (rows exactly, cols at least out_cols padded to the sublane tile)."""
+    bsz = xh.shape[0]
+    kh, kw, c_in, c_out = w.shape
+    dt = xh.dtype
+    rpb = rows_per_block if out_rows % rows_per_block == 0 else out_rows
+    cp = -(-out_cols // 8) * 8
+    need_cols = cp + (kw - 1) * d
+    if xh.shape[2] < need_cols:
+        xh = jnp.pad(xh, ((0, 0), (0, 0), (0, need_cols - xh.shape[2]),
+                          (0, 0)))
+    kernel = functools.partial(_kernel, cols=out_cols, c_in=c_in,
+                               c_out=c_out, kh=kh, kw=kw, d=d, act=act)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, out_rows // rpb),
+        in_specs=[
+            pl.BlockSpec((1, out_rows + (kh - 1) * d, need_cols, c_in),
+                         lambda bi, ri: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rpb, out_cols, c_out),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, out_rows, out_cols, c_out), dt),
+        interpret=jax.default_backend() != "tpu",
+    )(xh, jnp.asarray(w, dt), jnp.asarray(b, jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("d", "act", "rows_per_block"))
 def conv3x3_silu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                         d: int = 1, act: bool = True,
@@ -58,27 +99,39 @@ def conv3x3_silu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     b: (c_out,) fused bias.  Stride 1, padding d (torch autopad for a
     dilated 3x3).  Returns (B, H, W, c_out)."""
     bsz, h, w_, c_in = x.shape
-    c_out = w.shape[-1]
     assert c_in % 8 == 0, c_in
-    dt = x.dtype
-    rpb = rows_per_block if h % rows_per_block == 0 else h
-    cp = -(-w_ // 8) * 8
-    xp = jnp.pad(x, ((0, 0), (d, d), (d, cp - w_ + d), (0, 0)))
-    kernel = functools.partial(_kernel, cols=w_, c_in=c_in, c_out=c_out,
-                               d=d, act=act)
-    return pl.pallas_call(
-        kernel,
-        grid=(bsz, h // rpb),
-        in_specs=[
-            pl.BlockSpec((1, h + 2 * d, cp + 2 * d, c_in),
-                         lambda bi, ri: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rpb, w_, c_out),
-                               lambda bi, ri: (bi, ri, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, w_, c_out), dt),
-        interpret=jax.default_backend() != "tpu",
-    )(xp, jnp.asarray(w, dt), jnp.asarray(b, jnp.float32))
+    xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
+    return _conv_haloed(xp, w, b, h, w_, d, act, rows_per_block)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "rows_per_block"))
+def conv3x3s2_silu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                          act: bool = True,
+                          rows_per_block: int = 32) -> jnp.ndarray:
+    """Stride-2 3x3 conv + SiLU (torch autopad p=1) for even H, W.
+
+    out[i,j] = sum_{dy,dx} w[dy,dx] . xpad[2i+dy, 2j+dx]: space-to-depth
+    the padded input into (H/2+1, W/2+1, 4*c_in) phase blocks; the tap at
+    (dy, dx) lands in phase (dy%2, dx%2) of the packed pixel
+    (i + dy//2, j + dx//2) — a 2x2-tap conv whose (2, 2, 4c, c_out) grouped
+    weight holds each original tap in its phase's channel slot (zero
+    elsewhere).  7/16 of the MACs multiply zeros, but every dot runs at
+    K = 4*c_in lanes, which beats the T(2,128)-tiled XLA lowering ~10x on
+    the neck's downsample convs.  x: (B, H, W, c_in) -> (B, H/2, W/2,
+    c_out)."""
+    bsz, h, w_, c_in = x.shape
+    c_out = w.shape[-1]
+    assert h % 2 == 0 and w_ % 2 == 0, (h, w_)
+    assert (4 * c_in) % 8 == 0, c_in
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    hp, wp = h + 2, w_ + 2
+    x4 = xp.reshape(bsz, hp // 2, 2, wp // 2, 2, c_in)
+    x4 = x4.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, hp // 2, wp // 2,
+                                                4 * c_in)
+    wg = jnp.zeros((2, 2, 4 * c_in, c_out), w.dtype)
+    for dy in range(3):
+        for dx in range(3):
+            blk = (dy % 2) * 2 + (dx % 2)
+            wg = wg.at[dy // 2, dx // 2,
+                       blk * c_in:(blk + 1) * c_in, :].set(w[dy, dx])
+    return _conv_haloed(x4, wg, b, h // 2, w_ // 2, 1, act, rows_per_block)

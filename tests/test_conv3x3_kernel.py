@@ -49,6 +49,42 @@ def test_conv3x3_kernel_no_act(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+from multiyolov5_tpu.ops.pallas.conv3x3_kernel import conv3x3s2_silu_pallas
+
+
+def _xla_conv3x3_s2(x, w, b, act=True):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + b.astype(y.dtype)
+    return y * jax.nn.sigmoid(y) if act else y
+
+
+@pytest.mark.parametrize("b,h,w,ci,co", [
+    (1, 32, 64, 16, 24),        # neck downsample shape family
+    (2, 16, 24, 8, 8),          # batch>1, cols/2 not a multiple of 8
+    (1, 64, 48, 32, 16),        # rows/2 not divisible by rows_per_block
+])
+def test_conv3x3_s2_kernel_matches_xla(rng, b, h, w, ci, co):
+    x = jnp.asarray(rng.rand(b, h, w, ci).astype(np.float32))
+    wt = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.2)
+    bi = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
+    want = np.asarray(_xla_conv3x3_s2(x, wt, bi))
+    got = np.asarray(conv3x3s2_silu_pallas(x, wt, bi))
+    assert got.shape == want.shape == (b, h // 2, w // 2, co)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_conv3x3_s2_kernel_no_act(rng):
+    x = jnp.asarray(rng.rand(1, 16, 16, 8).astype(np.float32))
+    wt = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.2)
+    bi = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
+    want = np.asarray(_xla_conv3x3_s2(x, wt, bi, act=False))
+    got = np.asarray(conv3x3s2_silu_pallas(x, wt, bi, act=False))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_conv3x3_kernel_bf16(rng):
     x = jnp.asarray(rng.rand(1, 32, 32, 16), jnp.bfloat16)
     wt = jnp.asarray(rng.randn(3, 3, 16, 16).astype(np.float32) * 0.2)
