@@ -141,7 +141,8 @@ def main():
     orig_hw = (1024, 2048)        # native Cityscapes frame
     from multiyolov5_tpu.ops import stem as stem_lib
 
-    frame = np.random.randint(0, 255, (1, *in_hw, 3), np.uint8)
+    bs = int(os.environ.get("BENCH_BATCH", 1))   # frames per call (serving)
+    frame = np.random.randint(0, 255, (bs, *in_hw, 3), np.uint8)
     seg_up = jax.default_backend() != "tpu"  # fused mask kernel on TPU
     fold = stem_lib.can_fold_stem(spec)      # 4x4-s2d folded stem
     if fold:
@@ -153,6 +154,7 @@ def main():
         x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
     use_pallas_stem = (fold and jax.default_backend() == "tpu"
+                       and stem_fw[0].shape[-1] <= 256
                        and not os.environ.get("MULTIYOLOV5_XLA_STEM"))
     if use_pallas_stem:
         from multiyolov5_tpu.ops.pallas.stem_kernel import stem_apply_pallas
@@ -200,7 +202,7 @@ def main():
         r = rep(x0)
         float(r)  # fetch-sync
         best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
-    fps = 1.0 / best
+    fps = bs / best
 
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
@@ -210,7 +212,7 @@ def main():
 
     print(json.dumps({
         "metric": ("pspv5s" if cfg == "yolov5s_city_seg" else cfg)
-        + "_e2e_fps_1024x512",
+        + "_e2e_fps_1024x512" + (f"_bs{bs}" if bs > 1 else ""),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 140.0, 3),

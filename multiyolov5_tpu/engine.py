@@ -210,7 +210,12 @@ class Engine:
                 # round-trip instead of XLA's spatially-partitioned lowering
                 # + layout copies; ~144us vs ~558us standalone at 1024x512).
                 # MULTIYOLOV5_XLA_STEM=1 opts back into the XLA path.
+                # c_mid cap: the kernel's whole-image VMEM block + f32
+                # accumulators outgrow the 16 MB scoped budget for very
+                # wide stems (yolov5l/x, 4*c2 > 256) — those take the XLA
+                # path (stem_kernel.py shrinks the row block for m)
                 if (jax.default_backend() == "tpu"
+                        and stem_fw[0].shape[-1] <= 256
                         and not _os.environ.get("MULTIYOLOV5_XLA_STEM")):
                     from .ops.pallas.stem_kernel import stem_apply_pallas
                     y1 = stem_apply_pallas(x, *stem_fw)

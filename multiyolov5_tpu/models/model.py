@@ -235,7 +235,11 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     # backbone too 1255 (batch-1 backbone convs want XLA's
     # spatial-in-sublanes conv emitters).  Env knobs re-scope for
     # experiments; correctness is backend-independent (exact same math).
-    sever = fused and not train and jax.default_backend() == "tpu"
+    # batch-1 only: at serving batch sizes XLA's batched conv emitters keep
+    # clean layouts and the severing costs more than it saves (bs8 A/B:
+    # 1310 unsevered vs 1269 severed; bs1: 1301 -> 1449)
+    sever = (fused and not train and x.shape[0] == 1
+             and jax.default_backend() == "tpu")
     neck_start = len(spec.yaml.get("backbone", [])) if spec.yaml else 9999
     dot_from = int(os.environ.get("MULTIYOLOV5_DOT1X1_FROM", neck_start))
     p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))

@@ -102,7 +102,20 @@ def stem_apply_pallas(x48: jnp.ndarray, w1p: jnp.ndarray, b1p: jnp.ndarray,
     c_mid = w1p.shape[-1]
     c_out = w2p.shape[-1]
     dt = x48.dtype
-    rpb = ROWS_PER_BLOCK if h % ROWS_PER_BLOCK == 0 else h
+    # The kernel's f32 accumulator stack (~2 x rpb*cols*c_mid) plus the
+    # whole-image input block must fit the 16 MB scoped-VMEM budget, so the
+    # row block shrinks with the stem width (yolov5m's c_mid=192 OOM'd at
+    # the yolov5s-tuned rpb=32) and again for batched serving, where XLA
+    # schedules neighbouring per-item calls with overlapping lifetimes
+    # (b=8 OOM'd at rpb=32 even for yolov5s).
+    rpb_max = max(8, ROWS_PER_BLOCK * 128 // c_mid)
+    if b > 1:
+        rpb_max = max(8, rpb_max // 2)
+    rpb = h
+    for cand in (64, 32, 16, 8):
+        if cand <= rpb_max and h % cand == 0:
+            rpb = cand
+            break
     # conv1 pad=1 everywhere; conv2 consumes one extra halo row/col at the
     # top/left; right cols padded out to the kernel's sublane-aligned c1;
     # one extra bottom row so the dy=2 tap's row window stays in range
@@ -116,17 +129,21 @@ def stem_apply_pallas(x48: jnp.ndarray, w1p: jnp.ndarray, b1p: jnp.ndarray,
     w48 = jnp.stack([w1p[2, dx] for dx in range(3)])   # (3, c_in, c_mid)
     w2n = jnp.stack([jnp.concatenate([w2p[dy, 0], w2p[dy, 1]], 1)
                      for dy in range(2)])        # (2, c_mid, 2*c_out)
-    grid = (b, h // rpb)
     kernel = functools.partial(_kernel, cols=w, c_in=c_in, c_mid=c_mid,
                                c_out=c_out)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        grid=grid,
+        # one batch item per call: with a batch grid axis the (constant
+        # across ri) whole-image input block gets double-buffered across
+        # bi steps — 2 x 6.7 MB blows the 16 MB scoped-VMEM budget at
+        # serving batch sizes.  Per-item calls keep the block single-
+        # buffered (the same structure as the mask kernel's batch loop).
+        grid=(1, h // rpb),
         in_specs=[
-            # whole packed image per batch item: revisited across the row
-            # grid (index_map ignores ri), so it's DMA'd once per bi
+            # whole packed image: revisited across the row grid (index_map
+            # ignores ri), so it's DMA'd once
             pl.BlockSpec((1, h + 3, c1 + 2, 2 * c_in),
-                         lambda bi, ri: (bi, 0, 0, 0),
+                         lambda bi, ri: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -135,10 +152,13 @@ def stem_apply_pallas(x48: jnp.ndarray, w1p: jnp.ndarray, b1p: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, rpb, w, c_out),
-                               lambda bi, ri: (bi, ri, 0, 0),
+                               lambda bi, ri: (0, ri, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), dt),
+        out_shape=jax.ShapeDtypeStruct((1, h, w, c_out), dt),
         interpret=jax.default_backend() != "tpu",
-    )(x96, jnp.asarray(w96, dt), jnp.asarray(w48, dt),
-      jnp.asarray(b1p, jnp.float32), jnp.asarray(w2n, dt),
-      jnp.asarray(b2p, jnp.float32))
+    )
+    ws = (jnp.asarray(w96, dt), jnp.asarray(w48, dt),
+          jnp.asarray(b1p, jnp.float32), jnp.asarray(w2n, dt),
+          jnp.asarray(b2p, jnp.float32))
+    outs = [call(x96[i:i + 1], *ws) for i in range(b)]
+    return outs[0] if b == 1 else jnp.concatenate(outs, 0)
