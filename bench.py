@@ -97,7 +97,7 @@ def bench_train(out_path="TRAIN_BENCH.json"):
         float(out[1])
         best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
     rec = {
-        "metric": "pspv5s_dual_train_step_bs8_832det_1024x512seg",
+        "metric": f"pspv5s_dual_train_step_bs{B}_832det_1024x512seg",
         "train_step_ms": round(best * 1000, 2),
         "img_per_s": round(B / best, 1),
         "unit": "ms/step",

@@ -188,6 +188,8 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
         return lg[:, 0][None] if bsz == 1 else jnp.moveaxis(lg, 1, 0)
     ctx.dot1x1 = False
     y = ctx.conv2d(name + ".out.3", y, 1)
+    if ctx.train and not ctx.seg_up:
+        return y    # (B, h, w, S) pre-upsample NHWC for the fused-CE loss
     return resize_bilinear(y, (h * 8, w * 8))
 
 
@@ -211,6 +213,8 @@ def seg_base(ctx: Ctx, name: str, xs, n: int, c_hid: int, shortcut: bool,
     if not ctx.train and not ctx.seg_up:
         return ctx.conv2d(name + ".m.3", y, 3, out_nchw=True)
     y = ctx.conv2d(name + ".m.3", y, 3)
+    if ctx.train and not ctx.seg_up:
+        return y    # (B, h, w, S) pre-upsample NHWC for the fused-CE loss
     return resize_bilinear(y, (y.shape[1] * 8, y.shape[2] * 8))
 
 
@@ -288,4 +292,6 @@ def seg_lab(ctx: Ctx, name: str, xs: List[jnp.ndarray], c_hid: int):
     if not ctx.train and not ctx.seg_up:
         return ctx.conv2d(name + ".decoder.2", y, 1, out_nchw=True)
     y = ctx.conv2d(name + ".decoder.2", y, 1)
+    if ctx.train and not ctx.seg_up:
+        return y    # (B, h, w, S) pre-upsample NHWC for the fused-CE loss
     return resize_bilinear(y, (y.shape[1] * 8, y.shape[2] * 8))

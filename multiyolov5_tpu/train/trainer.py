@@ -16,6 +16,7 @@ give SyncBN semantics (reference --sync-bn) without a wrapper.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Dict, Optional
 
@@ -25,6 +26,7 @@ import numpy as np
 
 from ..models.config import ModelSpec
 from ..models.model import forward, init_model
+from ..ops.pallas.seg_ce_kernel import seg_ce_up8
 from . import optim
 from .losses import DetectionLoss, ohem_ce_loss, seg_focal_loss, segmentation_loss
 
@@ -99,11 +101,26 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
     fwd = forward
     if cfg.remat:
         def fwd(spec_, params, state, x, train=False, rng=None, decode=False,
-                fused=False, pre_s2d2=False):
+                fused=False, pre_s2d2=False, seg_up=True):
             def inner(p, s, xx, r):
                 return forward(spec_, p, s, xx, train=train, rng=r,
-                               decode=decode, fused=fused, pre_s2d2=pre_s2d2)
+                               decode=decode, fused=fused, pre_s2d2=pre_s2d2,
+                               seg_up=seg_up)
             return jax.checkpoint(inner)(params, state, x, rng)
+
+    # Fused upsample+CE (ops/pallas/seg_ce_kernel.py): on TPU, single-output
+    # heads skip the in-head x8 upsample (seg_up=False -> 1/8-res NHWC
+    # logits) and the loss kernel evaluates CE at label resolution without
+    # ever materializing the (B, 8h, 8w, C) logits — ~2.8 ms -> ~0.8 ms of
+    # the bs8 dual step.  Exact same math (custom VJP); OHEM/focal/BiSe-aux
+    # losses need the materialized full-res logits and keep the XLA path.
+    # MULTIYOLOV5_XLA_SEGCE=1 opts back into the XLA lowering.
+    seg_module = (spec.rows[spec.seg_index].module
+                  if spec.seg_index is not None else None)
+    fused_ce = (cfg.seg_loss == "ce" and not cfg.seg_aux
+                and seg_module in ("SegMaskPSP", "SegMaskBase", "SegMaskLab")
+                and jax.default_backend() == "tpu"
+                and not os.environ.get("MULTIYOLOV5_XLA_SEGCE"))
 
     def seg_loss_fn(seg_out, seg_lbls):
         if cfg.seg_loss == "ohem":
@@ -113,6 +130,8 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         if cfg.seg_loss == "focal":
             p = seg_out[0] if isinstance(seg_out, (list, tuple)) else seg_out
             return seg_focal_loss(p, seg_lbls)
+        if fused_ce:
+            return seg_ce_up8(seg_out, seg_lbls, weight=cw)
         return segmentation_loss(seg_out, seg_lbls, aux=cfg.seg_aux, aux_num=2,
                                  aux_weight=cfg.seg_aux_weight, weight=cw)
 
@@ -131,7 +150,8 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         xs = seg_imgs.astype(cfg.compute_dtype)  # already /255'd by loader
         _, seg_out, new_state2 = fwd(spec, params, state2, xs, train=True,
                                      rng=rng, decode=False,
-                                     pre_s2d2=cfg.pack_stem)
+                                     pre_s2d2=cfg.pack_stem,
+                                     seg_up=not fused_ce)
         # reference train.py:386 scales the mean CE by the DETECTION batch
         # size (the two tasks share one accumulated optimizer step)
         sloss = seg_loss_fn(seg_out, seg_lbls) * cfg.batch_size * cfg.seggain
