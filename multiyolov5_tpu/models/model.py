@@ -188,7 +188,8 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             train: bool = False, fused: bool = False,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
             compute_dtype=None, pre_s2d: bool = False, seg_up: bool = True,
-            start_layer: int = 0, pre_s2d2: bool = False):
+            start_layer: int = 0, pre_s2d2: bool = False,
+            sever: Optional[bool] = None):
     """Run the network.
 
     Args:
@@ -237,9 +238,12 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     # experiments; correctness is backend-independent (exact same math).
     # batch-1 only: at serving batch sizes XLA's batched conv emitters keep
     # clean layouts and the severing costs more than it saves (bs8 A/B:
-    # 1310 unsevered vs 1269 severed; bs1: 1301 -> 1449)
-    sever = (fused and not train and x.shape[0] == 1
-             and jax.default_backend() == "tpu")
+    # 1310 unsevered vs 1269 severed; bs1: 1301 -> 1449).  ``sever=False``
+    # forces the pure-XLA lowering — required under spatial (GSPMD)
+    # sharding, where custom calls cannot be partitioned.
+    if sever is None:
+        sever = (fused and not train and x.shape[0] == 1
+                 and jax.default_backend() == "tpu")
     neck_start = len(spec.yaml.get("backbone", [])) if spec.yaml else 9999
     dot_from = int(os.environ.get("MULTIYOLOV5_DOT1X1_FROM", neck_start))
     p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))
