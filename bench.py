@@ -146,30 +146,38 @@ def main():
     seg_up = jax.default_backend() != "tpu"  # fused mask kernel on TPU
     fold = stem_lib.can_fold_stem(spec)      # 4x4-s2d folded stem
     if fold:
-        x0 = jnp.asarray(space_to_depth_host(
-            space_to_depth_host(frame)).astype(np.float32))
         stem_fw = tuple(jnp.asarray(a)
                         for a in stem_lib.fold_stem_from_params(params))
-    else:
-        x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
     use_pallas_stem = (fold and jax.default_backend() == "tpu"
                        and stem_fw[0].shape[-1] <= 256
                        and not os.environ.get("MULTIYOLOV5_XLA_STEM"))
     if use_pallas_stem:
-        from multiyolov5_tpu.ops.pallas.stem_kernel import stem_apply_pallas
+        # the u8 stem kernel eats the host-packed raw frame bytes directly
+        # (normalize folded into the conv1 weights, row-pair packing done
+        # host-side) — no device-side prep pass at all
+        from multiyolov5_tpu.ops.pallas.stem_kernel import (
+            pack_stem96_host, stem_apply_pallas_u8, stem_pack_geometry)
+        cp, _ = stem_pack_geometry(in_hw[0] // 4, in_hw[1] // 4)
+        x0 = jnp.asarray(pack_stem96_host(
+            space_to_depth_host(space_to_depth_host(frame)), cp))
+    elif fold:
+        x0 = jnp.asarray(space_to_depth_host(
+            space_to_depth_host(frame)).astype(np.float32))
+    else:
+        x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
-    def body(x):
-        xn = x.astype(jnp.bfloat16) / 255.0
+    def body(x, fw):
         if fold:
             if use_pallas_stem:  # same gate as Engine's fused pipeline
-                y1 = stem_apply_pallas(xn, *stem_fw)
+                y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
             else:
-                y1 = stem_lib.stem_apply(xn, *stem_fw)
+                y1 = stem_lib.stem_apply(x.astype(jnp.bfloat16) / 255.0, *fw)
             det, seg, _ = forward(spec, params, state, y1, train=False,
                                   fused=True, decode=True, start_layer=2,
                                   seg_up=seg_up)
         else:
+            xn = x.astype(jnp.bfloat16) / 255.0
             det, seg, _ = forward(spec, params, state, xn,
                                   train=False, fused=True, decode=True,
                                   pre_s2d=True, seg_up=seg_up)
@@ -191,7 +199,12 @@ def main():
     @jax.jit
     def rep(x):
         def f(i, acc):
-            return acc + body(x + acc * 1e-12)  # chain: no loop hoisting
+            # chain through a bias (u8 inputs can't take the float nudge):
+            # keeps every iteration data-dependent so XLA can't hoist
+            if fold:
+                w1p, b1p, w2p, b2p = stem_fw
+                return acc + body(x, (w1p, b1p + acc * 1e-30, w2p, b2p))
+            return acc + body(x + acc * 1e-12, None)
         return lax.fori_loop(0, iters, f, jnp.float32(0))
 
     r = rep(x0)
@@ -210,12 +223,21 @@ def main():
         except Exception as e:  # train artifact is best-effort extra
             print(f"train bench failed: {e}", file=sys.stderr)
 
+    # analytic utilization: conv GFLOPs/frame at the bench geometry (from
+    # the shape-traced counter, utils/profiling.estimate_gflops) x measured
+    # FPS, vs the v5e's 197 bf16 peak TFLOP/s (round-2 verdict item 4)
+    from multiyolov5_tpu.utils.profiling import estimate_gflops
+    gflops = estimate_gflops(spec, params, in_hw, state=state)
+    tflops = fps * gflops / 1000.0
     print(json.dumps({
         "metric": ("pspv5s" if cfg == "yolov5s_city_seg" else cfg)
         + "_e2e_fps_1024x512" + (f"_bs{bs}" if bs > 1 else ""),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 140.0, 3),
+        "gflops_per_frame": round(gflops, 1),
+        "tflops_per_s": round(tflops, 1),
+        "mfu_vs_197T_bf16_peak": round(tflops / 197.0, 3),
     }))
 
 

@@ -103,6 +103,14 @@ class Engine:
         # two MXU-friendly convs on the quarter-res grid — exact, ~10x faster
         self.fold_stem = stem_lib.can_fold_stem(self.spec)
         self._stem_fw = None
+        # u8 Pallas stem: eats the host-packed raw frame bytes directly
+        # (normalize folded into conv1, row-pair packing host-side).  The
+        # device-side normalize+pack fusions it replaces cost ~100us/frame
+        # at serving batch sizes.  c_mid cap 256 covers s/m/l.
+        import os as _os
+        self._stem_u8_ok = (
+            self.fold_stem and jax.default_backend() == "tpu"
+            and not _os.environ.get("MULTIYOLOV5_XLA_STEM"))
 
     def _stem_weights(self):
         if self._stem_fw is None:
@@ -180,6 +188,7 @@ class Engine:
         fold = (use_s2d and self.fold_stem
                 and in_hw[0] % 4 == 0 and in_hw[1] % 4 == 0)
         stem_fw = self._stem_weights() if fold else None
+        u8_stem = fold and self._use_u8_stem(in_hw)
 
         # fused mask path: the seg head returns its 1/8-res logits and one
         # Pallas kernel computes argmax(up8 -> up-to-frame) straight from
@@ -202,33 +211,36 @@ class Engine:
         from_raw = False
 
         def run(p, img_u8):
-            x = img_u8.astype(cdt) / 255.0
             z = None
-            if fold:
-                # x is the 4x4-s2d grid; rows 0-1 run as the folded stem.
-                # On TPU a Pallas kernel runs both convs on-core (one HBM
-                # round-trip instead of XLA's spatially-partitioned lowering
-                # + layout copies; ~144us vs ~558us standalone at 1024x512).
-                # MULTIYOLOV5_XLA_STEM=1 opts back into the XLA path.
-                # c_mid cap: the kernel's whole-image VMEM block + f32
-                # accumulators outgrow the 16 MB scoped budget for very
-                # wide stems (yolov5l/x, 4*c2 > 256) — those take the XLA
-                # path (stem_kernel.py shrinks the row block for m)
-                if (jax.default_backend() == "tpu"
-                        and stem_fw[0].shape[-1] <= 256
-                        and not _os.environ.get("MULTIYOLOV5_XLA_STEM")):
-                    from .ops.pallas.stem_kernel import stem_apply_pallas
-                    y1 = stem_apply_pallas(x, *stem_fw)
-                else:
-                    y1 = stem_lib.stem_apply(x, *stem_fw)
+            if u8_stem:
+                # img_u8 is the host-packed uint8 x96 (pack_stem96_host):
+                # the Pallas kernel converts + normalizes on-core (scale
+                # folded into conv1) and runs both folded convs in VMEM —
+                # the raw frame bytes are the only device-resident input,
+                # no normalize/pack pass at all (that prep cost ~100us/frame
+                # at bs8).  MULTIYOLOV5_XLA_STEM=1 opts back out.
+                from .ops.pallas.stem_kernel import stem_apply_pallas_u8
+                y1 = stem_apply_pallas_u8(img_u8, *stem_fw,
+                                          cols=in_hw[1] // 4, out_dtype=cdt)
+                det, seg, _ = forward(spec, p, state, y1, train=False,
+                                      fused=True, decode=not from_raw,
+                                      start_layer=2, seg_up=not fuse_mask)
+                x = None
+            elif fold:
+                # 4x4-s2d grid through the folded stem in XLA (wide stems
+                # 4*c2 > 256, i.e. yolov5x, or non-TPU backends)
+                x = img_u8.astype(cdt) / 255.0
+                y1 = stem_lib.stem_apply(x, *stem_fw)
                 det, seg, _ = forward(spec, p, state, y1, train=False,
                                       fused=True, decode=not from_raw,
                                       start_layer=2, seg_up=not fuse_mask)
             elif use_s2d:
+                x = img_u8.astype(cdt) / 255.0
                 det, seg, _ = forward(spec, p, state, x, train=False,
                                       fused=True, decode=not from_raw,
                                       pre_s2d=True, seg_up=not fuse_mask)
             elif augment:  # TTA (reference models/yolo.py:273-291)
+                x = img_u8.astype(cdt) / 255.0
                 zs = []
                 for si, fi in zip((1.0, 0.83, 0.67), (None, 3, None)):
                     xi = jnp.flip(x, 2) if fi == 3 else x
@@ -244,6 +256,7 @@ class Engine:
                 _, seg, _ = forward(spec, p, state, x, train=False,
                                     fused=True, decode=False)
             else:
+                x = img_u8.astype(cdt) / 255.0
                 det, seg, _ = forward(spec, p, state, x, train=False,
                                       fused=True, decode=not from_raw,
                                       seg_up=not fuse_mask)
@@ -335,11 +348,20 @@ class Engine:
         (16*ch after two space-to-depths, 4*ch after one)."""
         h, w = in_hw
         ch = self.spec.ch_in
+        if fold and self._use_u8_stem(in_hw):
+            from .ops.pallas.stem_kernel import stem_pack_geometry
+            cp, hp = stem_pack_geometry(h // 4, w // 4)
+            return (1, hp, cp, 32 * ch)
         if fold:
             return (1, h // 4, w // 4, 16 * ch)
         if self.spec.rows and self.spec.rows[0].module == "Focus":
             return (1, h // 2, w // 2, 4 * ch)
         return (1, h, w, ch)
+
+    def _use_u8_stem(self, in_hw) -> bool:
+        if not (self._stem_u8_ok and in_hw[0] % 4 == 0 and in_hw[1] % 4 == 0):
+            return False
+        return self._stem_weights()[0].shape[-1] <= 256
 
     def __call__(self, img: np.ndarray, orig_hw: Tuple[int, int],
                  conf: float = 0.25, iou: float = 0.45,
@@ -363,7 +385,13 @@ class Engine:
                 and self.spec.rows[0].module == "Focus"):
             if (self.fold_stem and img.shape[1] % 4 == 0
                     and img.shape[2] % 4 == 0):
+                hw = tuple(img.shape[1:3])
                 img = space_to_depth_host(space_to_depth_host(img))
+                if self._use_u8_stem(hw):
+                    from .ops.pallas.stem_kernel import (pack_stem96_host,
+                                                         stem_pack_geometry)
+                    cp, _ = stem_pack_geometry(hw[0] // 4, hw[1] // 4)
+                    img = pack_stem96_host(img, cp)
             else:
                 img = space_to_depth_host(img)
         boxes, valid, cls_map = fn(jnp.asarray(img))

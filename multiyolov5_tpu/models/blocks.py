@@ -69,7 +69,9 @@ def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
     b = ctx.p.get(cname + ".bias")
     if b is None:
         b = jnp.zeros((w.shape[-1],), jnp.float32)
+    from ..ops.nn import _add_macs
     from ..ops.pallas.conv3x3_kernel import conv3x3_silu_pallas
+    _add_macs(x.shape[0] * x.shape[1] * x.shape[2] * int(np.prod(w.shape)))
     return conv3x3_silu_pallas(x, w, b, d=d, act=act)
 
 

@@ -242,8 +242,13 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     # forces the pure-XLA lowering — required under spatial (GSPMD)
     # sharding, where custom calls cannot be partitioned.
     if sever is None:
-        sever = (fused and not train and x.shape[0] == 1
-                 and jax.default_backend() == "tpu")
+        env = os.environ.get("MULTIYOLOV5_SEVER")
+        if env is not None:
+            sever = (fused and not train and bool(int(env))
+                     and jax.default_backend() == "tpu")
+        else:
+            sever = (fused and not train and x.shape[0] == 1
+                     and jax.default_backend() == "tpu")
     neck_start = len(spec.yaml.get("backbone", [])) if spec.yaml else 9999
     dot_from = int(os.environ.get("MULTIYOLOV5_DOT1X1_FROM", neck_start))
     p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))

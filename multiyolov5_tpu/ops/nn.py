@@ -34,6 +34,37 @@ Params = Dict[str, jnp.ndarray]
 BN_EPS = 1e-3      # reference utils/torch_utils.py initialize_weights
 BN_MOMENTUM = 0.03
 
+# -- analytic FLOP accounting -------------------------------------------------
+# When a counter is active (utils/profiling.estimate_gflops runs the forward
+# under jax.eval_shape with one installed), every conv path below records its
+# MACs from the *actual* input/output shapes at that point in the graph —
+# unlike pricing weights at their row's output stride, which was ~10x wrong
+# for the seg heads (their convs run at stride 8 but the row output is
+# stride 1 after the x8 upsample).  Reference: utils/torch_utils.py:205-226
+# (thop-based model_info).
+
+_MACS: Optional[list] = None
+
+
+class count_macs:
+    """Context manager installing a MAC counter; yields a 1-elem list."""
+
+    def __enter__(self):
+        global _MACS
+        self._prev = _MACS
+        _MACS = [0]
+        return _MACS
+
+    def __exit__(self, *exc):
+        global _MACS
+        _MACS = self._prev
+        return False
+
+
+def _add_macs(n: int) -> None:
+    if _MACS is not None:
+        _MACS[0] += int(n)
+
 
 def autopad(k, p=None, d: int = 1):
     """'same' padding for odd kernels (reference models/common.py:22-27).
@@ -150,6 +181,7 @@ class Ctx:
             # whole region to clean T(8,128) tiles — the same severing
             # trick as the planar detect/seg-logit heads (models/heads.py).
             bsz, hh, ww, ci = x.shape
+            _add_macs(bsz * hh * ww * ci * w.shape[-1])
             y = jax.lax.dot_general(
                 x.reshape(bsz * hh * ww, ci), w.reshape(ci, -1),
                 (((1,), (0,)), ((), ())), preferred_element_type=x.dtype)
@@ -170,6 +202,8 @@ class Ctx:
             dimension_numbers=("NHWC", "HWIO", "NCHW" if out_nchw else "NHWC"),
             preferred_element_type=x.dtype,
         )
+        oh, ow = (y.shape[2], y.shape[3]) if out_nchw else (y.shape[1], y.shape[2])
+        _add_macs(y.shape[0] * oh * ow * int(np.prod(w.shape)))
         b = self.p.get(name + ".bias")
         if b is not None:
             b = b.astype(y.dtype)
@@ -234,6 +268,8 @@ class Ctx:
                 b = self.p.get(name + ".conv.bias")
                 if b is None:
                     b = jnp.zeros((w.shape[-1],), jnp.float32)
+                _add_macs(x.shape[0] * (x.shape[1] // s) * (x.shape[2] // s)
+                          * int(np.prod(w.shape)))
                 if s == 2:
                     return conv3x3s2_silu_pallas(x, w, b, act=bool(act))
                 return conv3x3_silu_pallas(x, w, b, d=d, act=bool(act))
@@ -280,6 +316,8 @@ class Ctx:
                           jnp.concatenate(cur, -1))
         parts = groups
         ph, pw = _pair(autopad(k, None, 1))
+        _add_macs(parts[0].shape[0] * parts[0].shape[1] * parts[0].shape[2]
+                  * int(np.prod(w.shape)))
         y = None
         off = 0
         for part in parts:

@@ -41,6 +41,151 @@ from jax.experimental.pallas import tpu as pltpu
 ROWS_PER_BLOCK = 32
 
 
+def pack_stem96_host(x48, pad_cols: int):
+    """Host-side padded row-pair packing for :func:`stem_apply_pallas_u8`.
+
+    x48: (B, H, W, c_in) uint8 quarter-grid (two host space-to-depths).
+    Returns (B, H+3, pad_cols, 2*c_in) uint8 where out[r] = (xp[r], xp[r+1])
+    with xp = x48 padded by 2 rows top/bottom and 2 cols left (conv1 pad=1
+    plus conv2's top/left halo) — exactly the ``x96`` the f32 kernel used to
+    materialize on-device (which cost ~480us/step of XLA pad/slice fusions
+    at serving batch sizes)."""
+    import numpy as np
+    b, h, w, c = x48.shape
+    xp = np.zeros((b, h + 4, pad_cols, c), x48.dtype)
+    xp[:, 2:h + 2, 2:w + 2] = x48
+    out = np.empty((b, h + 3, pad_cols, 2 * c), x48.dtype)
+    out[..., :c] = xp[:, :-1]
+    out[..., c:] = xp[:, 1:]
+    return out
+
+
+def _kernel_u8(x96_ref, w96_ref, w48_ref, b1_ref, w2_ref, b2_ref, out_ref,
+               conv_ref, *, cols, c_in, c_mid, c_out):
+    """uint8 variant: x96_ref is the host-packed (1, H+3, cols_p, 2*c_in)
+    uint8 block; the 1/255 normalize is folded into w96/w48 (linear
+    pre-scale of conv1), so the kernel converts u8 -> bf16 once per row
+    block (into ``conv_ref`` scratch) and runs the same dots as
+    :func:`_kernel`."""
+    r_out = out_ref.shape[1]
+    r0 = pl.program_id(1) * r_out
+    r1 = r_out + 1
+    c1 = -(-(cols + 1) // 8) * 8
+    dt = out_ref.dtype
+    # one u8 -> bf16 convert of the rows this block touches (r0 .. r0+r1+2:
+    # conv1 rows + the dy=2 tap's 2-row offset); all tap slices then read
+    # the scratch with the standard bf16 tiling
+    # Mosaic has no direct u8 -> float cast; widen to i32 first
+    conv_ref[...] = x96_ref[0, pl.ds(r0, r1 + 2)].astype(jnp.int32).astype(dt)
+
+    acc = None
+    for dx in range(3):
+        m96 = conv_ref[pl.ds(0, r1), dx:dx + c1, :].reshape(r1 * c1,
+                                                            2 * c_in)
+        part = jax.lax.dot_general(
+            m96, w96_ref[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m48 = conv_ref[pl.ds(2, r1), dx:dx + c1, 0:c_in].reshape(r1 * c1,
+                                                                 c_in)
+        part = part + jax.lax.dot_general(
+            m48, w48_ref[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    y1 = acc + b1_ref[:].astype(jnp.float32)
+    y1 = (y1 * jax.nn.sigmoid(y1)).astype(dt).reshape(r1, c1, c_mid)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (r1, c1, c_mid), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (r1, c1, c_mid), 1)
+    edge = (cols_i == 0) | ((rows_i == 0) & (pl.program_id(1) == 0))
+    y1 = jnp.where(edge, jnp.zeros_like(y1), y1)
+
+    acc2 = None
+    for dy in range(2):
+        m = y1[dy:dy + r_out, 0:c1, :].reshape(r_out * c1, c_mid)
+        part = jax.lax.dot_general(
+            m, w2_ref[dy], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        part = part.reshape(r_out, c1, 2 * c_out)
+        q = part[:, 0:cols, 0:c_out] + part[:, 1:cols + 1, c_out:2 * c_out]
+        acc2 = q if acc2 is None else acc2 + q
+    y2 = acc2 + b2_ref[:].astype(jnp.float32)
+    out_ref[0] = (y2 * jax.nn.sigmoid(y2)).astype(dt)
+
+
+def stem_pack_geometry(h: int, w: int):
+    """(padded col count, packed row count) the u8 kernel expects for an
+    (h, w) quarter grid — the host packer must match."""
+    c1 = -(-(w + 1) // 8) * 8
+    return c1 + 2, h + 3
+
+
+@functools.partial(jax.jit, static_argnames=("cols", "out_dtype"))
+def stem_apply_pallas_u8(x96u8: jnp.ndarray, w1p: jnp.ndarray,
+                         b1p: jnp.ndarray, w2p: jnp.ndarray,
+                         b2p: jnp.ndarray, cols: int,
+                         out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Folded stem from host-packed uint8 input (pack_stem96_host).
+
+    x96u8: (B, H+3, cols_p, 2*c_in) uint8; returns (B, H, cols, c_out)
+    in ``out_dtype``.  The /255 input normalize is folded into the conv1
+    weights (exact same math as normalize-then-conv up to one bf16
+    rounding), so the raw frame bytes are the only HBM-resident input —
+    no device-side normalize or packing pass at all."""
+    b, hp3, cp, c2in = x96u8.shape
+    c_in = c2in // 2
+    h = hp3 - 3
+    c_mid = w1p.shape[-1]
+    c_out = w2p.shape[-1]
+    dt = out_dtype
+    # row block: 32 measured best (or tied) across s/m widths and batch
+    # sizes 1/8 on v5e — the u8 input block is 4x smaller than the old f32
+    # kernel's, so the VMEM pressure that forced narrower blocks is gone
+    # (the 64 MB scoped limit below covers the f32 conv1 accumulator for
+    # wide stems).  f32 out is the test path: f32 temporaries double the
+    # stack, so keep blocks small there.
+    rpb_max = 8 if dt == jnp.float32 else 32
+    rpb = h
+    for cand in (32, 16, 8):
+        if cand <= rpb_max and h % cand == 0:
+            rpb = cand
+            break
+    c1 = -(-(cols + 1) // 8) * 8
+    assert cp == c1 + 2, (cp, c1)
+    inv = jnp.float32(1.0 / 255.0)
+    w96 = jnp.stack([jnp.concatenate([w1p[0, dx], w1p[1, dx]], 0)
+                     for dx in range(3)]) * inv
+    w48 = jnp.stack([w1p[2, dx] for dx in range(3)]) * inv
+    w2n = jnp.stack([jnp.concatenate([w2p[dy, 0], w2p[dy, 1]], 1)
+                     for dy in range(2)])
+    kernel = functools.partial(_kernel_u8, cols=cols, c_in=c_in,
+                               c_mid=c_mid, c_out=c_out)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // rpb),
+        in_specs=[
+            pl.BlockSpec((1, hp3, cp, 2 * c_in),
+                         lambda bi, ri: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rpb, cols, c_out),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, cols, c_out), dt),
+        scratch_shapes=[pltpu.VMEM((rpb + 3, cp, 2 * c_in), dt)],
+        # the f32 conv1 accumulator stack for wide stems (c_mid 192/256)
+        # plus the double-buffered batch input block outgrows the 16 MB
+        # default scoped budget; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=jax.default_backend() != "tpu",
+    )(x96u8, jnp.asarray(w96, dt), jnp.asarray(w48, dt),
+      jnp.asarray(b1p, jnp.float32), jnp.asarray(w2n, dt),
+      jnp.asarray(b2p, jnp.float32))
+
+
 def _kernel(x96_ref, w96_ref, w48_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
             cols, c_in, c_mid, c_out):
     """x96_ref: (1, H+3, cols+3, 2*c_in) padded input with lanes

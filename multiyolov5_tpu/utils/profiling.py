@@ -30,17 +30,43 @@ def model_info(spec, params, img_size: int = 640, verbose: bool = False) -> dict
     return {"layers": n_layers, "parameters": n_p, "gflops": flops}
 
 
-def estimate_gflops(spec, params, img_size: int = 640) -> float:
-    """Conv MACs from weight shapes x output spatial size (analytic, no thop)."""
-    total = 0.0
-    for row in spec.rows:
-        pref = f"model.{row.i}"
-        hw = (img_size / max(row.stride, 1)) ** 2
-        for k, v in params.items():
-            if k.startswith(pref + ".") and k.endswith(".weight") and v.ndim == 4:
-                kh, kw, cin, cout = v.shape
-                total += 2 * kh * kw * cin * cout * hw
-    return total / 1e9
+def estimate_gflops(spec, params, img_size=640, state=None) -> float:
+    """Analytic conv GFLOPs for one forward at ``img_size`` (int or (H, W)).
+
+    Traces the real forward under ``jax.eval_shape`` with a MAC counter
+    installed (ops/nn.count_macs): every conv records kh*kw*cin*cout times
+    its *actual* output spatial size at that point in the graph.  The
+    previous heuristic priced each conv at its row's output stride, which
+    over-counted seg heads ~10x (their convs run at stride 8 but the row
+    output is stride 1 after the x8 upsample).  Matches the reference's
+    thop-based numbers (utils/torch_utils.py:205-226): det-only yolov5s
+    ~17 GFLOPs @640 (thop reports 17.0).  eval_shape runs no device
+    compute — this is free even through the TPU tunnel.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.model import forward, init_model
+    from ..ops import nn as nn_lib
+
+    hw = (img_size, img_size) if isinstance(img_size, int) else tuple(img_size)
+    fused = not any(k.endswith(".bn.weight") for k in params)
+    if state is None:
+        state = init_model(spec)[1]
+        if fused:  # fused params pair with a stripped state (Engine/fuse())
+            state = {k: v for k, v in state.items()
+                     if "running_" not in k
+                     or k.rsplit(".running_", 1)[0] + ".weight" in params}
+    sds = lambda t: jax.ShapeDtypeStruct(t.shape, jnp.float32)
+    p_s = {k: sds(v) for k, v in params.items()}
+    s_s = {k: sds(v) for k, v in state.items()}
+    x_s = jax.ShapeDtypeStruct((1, hw[0], hw[1], spec.ch_in), jnp.float32)
+    with nn_lib.count_macs() as c:
+        jax.eval_shape(
+            lambda p, s, x: forward(spec, p, s, x, train=False, fused=fused,
+                                    decode=False, sever=False)[:2],
+            p_s, s_s, x_s)
+    return 2 * c[0] / 1e9
 
 
 def profile_layers(spec, params, state, img_hw=(256, 256), fused: bool = False,

@@ -44,3 +44,31 @@ def test_stem_kernel_bf16(rng):
                      dtype=np.float32)
     # bf16 accumulation order differs (im2col vs XLA conv): tolerate ~1%
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("b,h,w", [(1, 64, 96), (3, 32, 48)])
+def test_stem_kernel_u8_matches_xla(rng, b, h, w):
+    """u8 serving kernel (host-packed bytes, in-kernel normalize) vs the
+    normalize-then-stem_apply reference path — exact up to f32 rounding of
+    the w/255 weight fold."""
+    from multiyolov5_tpu.ops.pallas.stem_kernel import (
+        pack_stem96_host, stem_apply_pallas_u8, stem_pack_geometry)
+
+    c2, c2b = 16, 24
+    w0 = rng.randn(3, 3, 12, c2).astype(np.float32) * 0.2
+    b0 = rng.randn(c2).astype(np.float32) * 0.1
+    w1 = rng.randn(3, 3, c2, c2b).astype(np.float32) * 0.2
+    b1 = rng.randn(c2b).astype(np.float32) * 0.1
+    fw = stem_lib.fold_stem_weights(w0, b0, w1, b1)
+    hq, wq = h // 4, w // 4
+    x48u8 = (rng.rand(b, hq, wq, 48) * 255).astype(np.uint8)
+
+    want = np.asarray(stem_lib.stem_apply(
+        jnp.asarray(x48u8, jnp.float32) / 255.0, *fw))
+    cp, hp = stem_pack_geometry(hq, wq)
+    x96 = pack_stem96_host(x48u8, cp)
+    assert x96.shape == (b, hp, cp, 96)
+    got = np.asarray(stem_apply_pallas_u8(
+        jnp.asarray(x96), *fw, cols=wq, out_dtype=jnp.float32))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -117,7 +117,10 @@ def test_accumulation_gates_update(rng, setup):
 
 
 def test_multichip_sharded_step():
-    """The dryrun_multichip contract: full train step over an 8-device mesh."""
+    """The dryrun_multichip contract: full train step over an 8-device mesh
+    must be numerically EQUIVALENT to the unsharded step at the same global
+    batch — the reference's DDP all-reduce semantics
+    (reference train.py:242-245,366-367), not just finite."""
     from multiyolov5_tpu.parallel.mesh import make_mesh, shard_batch, replicate
 
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
@@ -126,13 +129,30 @@ def test_multichip_sharded_step():
     cfg = TrainConfig(hyp=HYP, batch_size=8, seg_batch_size=8,
                       compute_dtype=jnp.float32)
     ts, groups = create_train_state(spec, cfg, seed=0)
+    ts_single = jax.tree.map(np.asarray, ts)  # independent copy
     step = make_train_step(spec, cfg, groups, mesh=mesh, donate=False)
     rng = np.random.RandomState(0)
     imgs, tgts, mask, seg_imgs, seg_lbls = _batch(rng, B=8)
     ts = replicate(mesh, ts)
-    args = shard_batch(mesh, tuple(jnp.asarray(a) for a in
-                                   (imgs, tgts, mask, seg_imgs, seg_lbls)))
+    raw = tuple(jnp.asarray(a) for a in (imgs, tgts, mask, seg_imgs, seg_lbls))
+    args = shard_batch(mesh, raw)
     key = replicate(mesh, jax.random.PRNGKey(0))
-    ts, m = step(ts, *args, key, jnp.float32(0.01), jnp.float32(0.01),
-                 jnp.float32(0.9), jnp.asarray(True))
+    lr, wd, mom = jnp.float32(0.01), jnp.float32(0.01), jnp.float32(0.9)
+    ts, m = step(ts, *args, key, lr, wd, mom, jnp.asarray(True))
     assert np.isfinite(float(m["total"]))
+
+    # identical global batch through the unsharded step
+    step0 = make_train_step(spec, cfg, groups, mesh=None, donate=False)
+    ts0, m0 = step0(ts_single, *raw, jax.random.PRNGKey(0), lr, wd, mom,
+                    jnp.asarray(True))
+    np.testing.assert_allclose(float(m["total"]), float(m0["total"]),
+                               rtol=1e-5)
+    for part in ("params", "ema_params", "state"):
+        for k in ts0[part]:
+            # tolerances cover fp32 psum reduction-order noise on the
+            # gradients (~1e-7 rel) amplified through the SGD update
+            np.testing.assert_allclose(
+                np.asarray(ts[part][k]), np.asarray(ts0[part][k]),
+                rtol=2e-4, atol=5e-6,
+                err_msg=f"{part}[{k}] diverges between 8-device and "
+                        f"single-device step")
