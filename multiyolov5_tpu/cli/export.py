@@ -34,8 +34,12 @@ def export(opt):
     x_spec = jnp.zeros((opt.batch_size, h, wd, 3), jnp.float32)
 
     def fn(x):
+        # sever=False: exported graphs must be portable — plain XLA convs,
+        # no Pallas custom calls or layout-severing reshaped dots (TFLite's
+        # converter rejects the rank-4 batch_matmul they produce)
         det, seg, _ = forward(spec, params, state, x, train=False,
-                              fused=eng.fused, decode=not opt.raw)
+                              fused=eng.fused, decode=not opt.raw,
+                              sever=False)
         if opt.raw:
             out = tuple(det)
         else:

@@ -61,6 +61,7 @@ def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
     if (not ctx.fused or ctx.train or x.ndim != 4 or x.shape[-1] % 8
             or x.shape[1] * x.shape[2] * x.shape[-1] > (1 << 21)
             or jax.default_backend() != "tpu"
+            or not getattr(ctx, "sever_heads", True)
             or os.environ.get("MULTIYOLOV5_XLA_SEGCONV")):
         return None
     w = ctx.p.get(cname + ".weight")

@@ -156,7 +156,10 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     # pixels) — scoped to this head: globally it breaks the backbone's
     # conv fusions (A/B: 987 vs 1264 FPS), here it starves the T(2,128)
     # tiling that otherwise leaks into the neck
-    ctx.dot1x1 = not ctx.train
+    # sever_heads=False (forward(sever=False)) keeps the head on plain
+    # convs — required for export (TFLite can't take the rank-4 reshaped
+    # dots) and under GSPMD spatial sharding
+    ctx.dot1x1 = not ctx.train and getattr(ctx, "sever_heads", True)
     f8 = B.conv(ctx, name + ".m8.0", x8, 1)
     f16 = resize_bilinear(B.conv(ctx, name + ".m16.0", x16, 1), (h, w))
     f32 = resize_bilinear(B.conv(ctx, name + ".m32.0", x32, 1), (h, w))

@@ -241,6 +241,10 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     # 1310 unsevered vs 1269 severed; bs1: 1301 -> 1449).  ``sever=False``
     # forces the pure-XLA lowering — required under spatial (GSPMD)
     # sharding, where custom calls cannot be partitioned.
+    # sever=False explicitly disables ALL layout-severing custom paths,
+    # including the seg heads' scoped dot1x1 (export / GSPMD require the
+    # plain lowering); None/True only control the neck region below.
+    ctx.sever_heads = sever is not False
     if sever is None:
         env = os.environ.get("MULTIYOLOV5_SEVER")
         if env is not None:
@@ -252,9 +256,10 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     neck_start = len(spec.yaml.get("backbone", [])) if spec.yaml else 9999
     dot_from = int(os.environ.get("MULTIYOLOV5_DOT1X1_FROM", neck_start))
     p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))
+    sever_to = int(os.environ.get("MULTIYOLOV5_SEVER_TO", 1 << 30))
     for row in spec.rows[start_layer:]:
-        ctx.dot1x1 = sever and row.i >= dot_from
-        ctx.pallas3x3 = sever and row.i >= p3_from
+        ctx.dot1x1 = sever and dot_from <= row.i < sever_to
+        ctx.pallas3x3 = sever and p3_from <= row.i < sever_to
         if row.module == "Detect":
             xs = [cache[j] if j != -1 else y for j in row.f]
             det_xs = xs

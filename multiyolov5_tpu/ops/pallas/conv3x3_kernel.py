@@ -87,6 +87,9 @@ def _conv_haloed(xh: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                                lambda bi, ri: (bi, ri, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, out_rows, out_cols, c_out), dt),
+        # whole-item input blocks double-buffer across the batch grid axis;
+        # the 16 MB default scoped budget OOMs at serving batch sizes
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
         interpret=jax.default_backend() != "tpu",
     )(xh, jnp.asarray(w, dt), jnp.asarray(b, jnp.float32))
 

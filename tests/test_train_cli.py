@@ -46,3 +46,34 @@ def test_train_cli_one_epoch(tiny_det_dataset, tmp_path):
     assert (run / "opt.yaml").exists() and (run / "hyp.yaml").exists()
     lines = (run / "results.txt").read_text().strip().splitlines()
     assert len(lines) == 1 and lines[0].startswith("0 ")
+
+
+def test_evolve_two_generations(tiny_det_dataset, tmp_path):
+    """--evolve smoke (reference train.py:638-717): 2 generations on the
+    tiny fixture — evolve.txt gains one row per generation, hyp_evolved.yaml
+    is written, and every evolved hyper respects the EVOLVE_META bounds."""
+    from multiyolov5_tpu.cli.train import main
+    from multiyolov5_tpu.data.hyps import EVOLVE_META, load_hyp
+
+    project = tmp_path / "runs"
+    main([
+        "--cfg", "/root/reference/models/yolov5s.yaml",
+        "--data", str(tiny_det_dataset),
+        "--epochs", "1", "--batch-size", "2",
+        "--img-size", "64", "64", "--img-size-test", "64",
+        "--workers", "2", "--project", str(project),
+        "--no-tb", "--noautoanchor",
+        "--evolve", "--evolve-generations", "2"])
+    evolve_txt = project / "evolve.txt"
+    assert evolve_txt.exists()
+    rows = np.loadtxt(str(evolve_txt), ndmin=2)
+    assert rows.shape[0] == 2
+    assert np.isfinite(rows).all()
+    evolved = yaml.safe_load((project / "hyp_evolved.yaml").read_text())
+    base = load_hyp("scratch")
+    keys = [k for k in EVOLVE_META if k in base]
+    # print_mutation stores results(5 cols) then the hypers in key order
+    assert rows.shape[1] == 5 + len(keys)
+    for k in keys:
+        lo, hi = EVOLVE_META[k][1], EVOLVE_META[k][2]
+        assert lo - 1e-9 <= float(evolved[k]) <= hi + 1e-9, (k, evolved[k])
