@@ -386,12 +386,16 @@ class Engine:
             if (self.fold_stem and img.shape[1] % 4 == 0
                     and img.shape[2] % 4 == 0):
                 hw = tuple(img.shape[1:3])
-                img = space_to_depth_host(space_to_depth_host(img))
                 if self._use_u8_stem(hw):
-                    from .ops.pallas.stem_kernel import (pack_stem96_host,
-                                                         stem_pack_geometry)
+                    # one fused native pass per frame (s2d x2 + pad + row-
+                    # pair pack); numpy chain fallback inside
+                    from . import native
+                    from .ops.pallas.stem_kernel import stem_pack_geometry
                     cp, _ = stem_pack_geometry(hw[0] // 4, hw[1] // 4)
-                    img = pack_stem96_host(img, cp)
+                    img = np.stack([native.frame_to_stem96(
+                        np.ascontiguousarray(im), cp) for im in img])
+                else:
+                    img = space_to_depth_host(space_to_depth_host(img))
             else:
                 img = space_to_depth_host(img)
         boxes, valid, cls_map = fn(jnp.asarray(img))

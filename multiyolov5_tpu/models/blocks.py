@@ -59,7 +59,7 @@ def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
     MULTIYOLOV5_XLA_SEGCONV=1 opts back into the XLA lowering."""
     import os
     if (not ctx.fused or ctx.train or x.ndim != 4 or x.shape[-1] % 8
-            or x.shape[1] * x.shape[2] * x.shape[-1] > (1 << 21)
+            or x.shape[1] * x.shape[2] * x.shape[-1] > (1 << 22)
             or jax.default_backend() != "tpu"
             or not getattr(ctx, "sever_heads", True)
             or os.environ.get("MULTIYOLOV5_XLA_SEGCONV")):

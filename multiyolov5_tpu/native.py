@@ -46,6 +46,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.letterbox_fill.argtypes = [u8p, u8p, i64, i64, i64, i64, i64,
                                        i64, i64, ctypes.c_uint8]
         lib.normalize_f32.argtypes = [u8p, f32p, i64]
+        try:
+            lib.frame_to_stem96.argtypes = [u8p, u8p, i64, i64, i64]
+        except AttributeError:  # stale .so from before the symbol existed
+            pass
         _lib = lib
     except OSError as e:
         print(f"native lib load failed ({e}); using numpy fallbacks")
@@ -89,6 +93,28 @@ def letterbox_fill(img: np.ndarray, out_hw, top: int, left: int,
     out = np.full((oh, ow, c), fill, np.uint8)
     out[top:top + h, left:left + w] = img
     return out
+
+
+def frame_to_stem96(img: np.ndarray, cp: int) -> np.ndarray:
+    """(H, W, 3) uint8 RGB frame -> (H/4+3, cp, 96) uint8 packed stem input
+    (two nested 2x2 space-to-depths + pad + row-pair lane pack) in one
+    fused pass — the host side of ops/pallas/stem_kernel.stem_apply_pallas_u8.
+    Falls back to the numpy chain (s2d x2 + pack_stem96_host)."""
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    h, w = img.shape[:2]
+    lib = _load()
+    if (lib is not None and hasattr(lib, "frame_to_stem96")
+            and img.flags["C_CONTIGUOUS"]):
+        out = np.empty((h // 4 + 3, cp, 96), np.uint8)
+        lib.frame_to_stem96(_u8p(img), _u8p(out), h, w, cp)
+        return out
+    # numpy fallback: the same chain engine.space_to_depth_host uses
+    from .ops.pallas.stem_kernel import pack_stem96_host
+    x = np.concatenate([img[::2, ::2], img[1::2, ::2],
+                        img[::2, 1::2], img[1::2, 1::2]], axis=-1)
+    x = np.concatenate([x[::2, ::2], x[1::2, ::2],
+                        x[::2, 1::2], x[1::2, 1::2]], axis=-1)
+    return pack_stem96_host(x[None], cp)[0]
 
 
 def normalize(img: np.ndarray) -> np.ndarray:

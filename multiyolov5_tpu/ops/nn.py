@@ -259,7 +259,7 @@ class Ctx:
                 and p is None and x.ndim == 4 and x.shape[-1] % 8 == 0
                 and (s == 1 or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                                 and d == 1))
-                and x.shape[1] * x.shape[2] * x.shape[-1] <= (1 << 21)
+                and x.shape[1] * x.shape[2] * x.shape[-1] <= (1 << 22)
                 and jax.default_backend() == "tpu"):
             w = self.p[name + ".conv.weight"]
             if w.shape[0] == 3 and w.shape[1] == 3:

@@ -90,4 +90,52 @@ void normalize_f32(const uint8_t* src, float* dst, int64_t n) {
     for (int64_t i = 0; i < n; ++i) dst[i] = src[i] * k;
 }
 
+// RGB frame -> the u8 stem kernel's packed input, in one pass
+// (ops/pallas/stem_kernel.py stem_apply_pallas_u8 / pack_stem96_host).
+//
+// src: (h, w, 3) uint8, h % 4 == 0, w % 4 == 0.
+// dst: (h/4 + 3, cp, 96) uint8, cp >= w/4 + 2 (the kernel's padded cols).
+//
+// Semantics = two nested 2x2 space-to-depths (channel index of quarter
+// pixel (r, c): 12*p2 + 3*p1 + ch reads src[4r + 2*dy2 + dy1,
+// 4c + 2*dx2 + dx1, ch] with phase order (dy,dx) = 00,10,01,11), padded by
+// 2 rows top/bottom and 2 cols left (zero), then row-pair packed:
+// dst[r, :, 0:48] = xp[r], dst[r, :, 48:96] = xp[r + 1].
+void frame_to_stem96(const uint8_t* src, uint8_t* dst, int64_t h, int64_t w,
+                     int64_t cp) {
+    const int64_t hq = h / 4, wq = w / 4;
+    const int64_t drow = cp * 96;
+    const int64_t srow = w * 3;
+#pragma omp parallel for schedule(static)
+    for (int64_t r = -3; r < hq; ++r) {
+        // dst row index for the x48 row r in the LOW half is r + 2 (pad 2);
+        // r contributes to dst rows r+2 (low lanes) and r+1 (high lanes).
+        // Iterate dst rows instead: dst row t holds xp[t] | xp[t+1] where
+        // xp[i] = x48[i - 2] for 2 <= i < hq + 2, else zeros.
+        const int64_t t = r + 3;       // dst row 0..hq+2
+        uint8_t* d = dst + t * drow;
+        memset(d, 0, drow);
+        for (int half = 0; half < 2; ++half) {
+            const int64_t i = t + half;           // xp row
+            const int64_t rq = i - 2;             // x48 row
+            if (rq < 0 || rq >= hq) continue;
+            const uint8_t* s0 = src + 4 * rq * srow;
+            for (int64_t c = 0; c < wq; ++c) {
+                uint8_t* q = d + (c + 2) * 96 + half * 48;
+                const uint8_t* p0 = s0 + 4 * c * 3;
+                for (int p2 = 0; p2 < 4; ++p2) {
+                    const int64_t dy2 = p2 & 1, dx2 = p2 >> 1;
+                    for (int p1 = 0; p1 < 4; ++p1) {
+                        const int64_t dy1 = p1 & 1, dx1 = p1 >> 1;
+                        const uint8_t* s =
+                            p0 + (2 * dy2 + dy1) * srow + (2 * dx2 + dx1) * 3;
+                        uint8_t* o = q + 12 * p2 + 3 * p1;
+                        o[0] = s[0]; o[1] = s[1]; o[2] = s[2];
+                    }
+                }
+            }
+        }
+    }
+}
+
 }  // extern "C"
