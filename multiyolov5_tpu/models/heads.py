@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.nn import Ctx, Initializer
+from ..ops.nn import Ctx, Initializer, LazyCat
 from ..ops.resize import resize_bilinear
 from . import blocks as B
 
@@ -161,9 +161,17 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     # dots) and under GSPMD spatial sharding
     ctx.dot1x1 = not ctx.train and getattr(ctx, "sever_heads", True)
     f8 = B.conv(ctx, name + ".m8.0", x8, 1)
-    f16 = resize_bilinear(B.conv(ctx, name + ".m16.0", x16, 1), (h, w))
-    f32 = resize_bilinear(B.conv(ctx, name + ".m32.0", x32, 1), (h, w))
-    feat = jnp.concatenate([f8, f16, f32], -1)
+    f16 = B.conv(ctx, name + ".m16.0", x16, 1)
+    f32 = B.conv(ctx, name + ".m32.0", x32, 1)
+    if getattr(ctx, "lazy_cat", False):
+        # virtual 3-scale concat: RFB2's entry 1x1s split per scale and the
+        # x2/x4 bilinear upsamples move to the (narrower) dot outputs — the
+        # c_hid*3-channel concat and the upsampled c_hid maps never
+        # materialize (exact linear commute; ops/nn.LazyCat)
+        feat = LazyCat([f8, f16, f32], (h, w), "bilinear")
+    else:
+        feat = jnp.concatenate([f8, resize_bilinear(f16, (h, w)),
+                                resize_bilinear(f32, (h, w))], -1)
     y = B.rfb2(ctx, name + ".out.0", feat, d=(2, 3))
     feats = B.pyramid_pooling_feats(ctx, name + ".out.1", y, k=(1, 2, 3, 6))
     y = B.ffm(ctx, name + ".out.2", feats, k=3, split=True)

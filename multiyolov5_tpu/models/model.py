@@ -14,7 +14,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.nn import Ctx, Initializer, Params, fuse_conv_bn
+from ..ops.nn import Ctx, Initializer, LazyCat, Params, concrete, fuse_conv_bn
 from ..ops.resize import resize_bilinear, upsample_nearest
 from . import blocks as B
 from . import heads as H
@@ -94,6 +94,13 @@ def init_model(spec: ModelSpec, seed: int = 0) -> Tuple[Params, Params]:
 def _apply_row(ctx: Ctx, row, x):
     name = f"model.{row.i}"
     m, a = row.module, row.args
+    if m not in ("C3", "Concat", "SegMaskPSP", "SegMaskBase", "SegMaskBiSe",
+                 "SegMaskLab"):
+        # C3 and the seg heads reach their LazyCat inputs through 1x1 entry
+        # convs (models/yolov5s_city_seg.yaml:49 routes the seg head from
+        # the Concat rows 16/19/22); every other module sees the
+        # materialized concat
+        x = concrete(x)
     if m == "Conv":
         y = x
         for rep in range(row.n):  # n>1 repeats the module itself
@@ -149,12 +156,24 @@ def _apply_row(ctx: Ctx, row, x):
     if m == "nn.BatchNorm2d":
         return ctx.batch_norm(name, x)
     if m == "Concat":
+        if any(isinstance(t, LazyCat) for t in x):
+            # virtual concat: parts stay at native res; the consumer's 1x1
+            # convs split per part (upsample-after — see ops/nn.LazyCat)
+            out_hw = next(t.out_hw for t in x if isinstance(t, LazyCat))
+            parts = []
+            for t in x:
+                parts.extend(t.parts if isinstance(t, LazyCat) else [t])
+            mode = next(t.mode for t in x if isinstance(t, LazyCat))
+            return LazyCat(parts, out_hw, mode)
         return jnp.concatenate(x, axis=-1)
     if m == "nn.Upsample":
         scale, mode = a[1], a[2]
+        out_hw = (x.shape[1] * int(scale), x.shape[2] * int(scale))
+        if getattr(ctx, "lazy_cat", False):
+            return LazyCat([x], out_hw, mode)
         if mode == "nearest":
             return upsample_nearest(x, int(scale))
-        return resize_bilinear(x, (x.shape[1] * int(scale), x.shape[2] * int(scale)))
+        return resize_bilinear(x, out_hw)
     if m == "nn.MaxPool2d":
         import jax.lax as lax
         k = a[0]
@@ -253,6 +272,11 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         else:
             sever = (fused and not train and x.shape[0] == 1
                      and jax.default_backend() == "tpu")
+    # lazy upsample/concat restructuring (pure-XLA linear commute, batch-
+    # independent — unlike the custom-call severing it also runs at serving
+    # batch sizes); off for export/GSPMD (sever=False) and via env for A/Bs
+    ctx.lazy_cat = (fused and not train and ctx.sever_heads
+                    and not os.environ.get("MULTIYOLOV5_NO_LAZYCAT"))
     neck_start = len(spec.yaml.get("backbone", [])) if spec.yaml else 9999
     dot_from = int(os.environ.get("MULTIYOLOV5_DOT1X1_FROM", neck_start))
     p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))
@@ -261,7 +285,7 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         ctx.dot1x1 = sever and dot_from <= row.i < sever_to
         ctx.pallas3x3 = sever and p3_from <= row.i < sever_to
         if row.module == "Detect":
-            xs = [cache[j] if j != -1 else y for j in row.f]
+            xs = [concrete(cache[j] if j != -1 else y) for j in row.f]
             det_xs = xs
             det_raw = H.detect_raw(ctx, f"model.{row.i}", xs, spec.nc, spec.na)
             y = det_raw

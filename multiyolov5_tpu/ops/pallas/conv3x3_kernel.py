@@ -107,34 +107,93 @@ def conv3x3_silu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     return _conv_haloed(xp, w, b, h, w_, d, act, rows_per_block)
 
 
+def _kernel_s2(x2_ref, wa_ref, wb_ref, b_ref, out_ref, *, cols, c_in,
+               c_out, act):
+    """x2_ref: (1, 2*rpb+2, cpp, 2*c_in) column-pair-packed padded input
+    rows for this block (full-res rows 2*r0 .. 2*r0+2*rpb+1); out_ref:
+    (1, rpb, cols, c_out).
+
+    out[i,j] needs xpad rows 2i..2i+2 and packed cols j (lanes hold full-
+    res cols 2j, 2j+1 = taps dx=0,1) and j+1 (low lanes = col 2j+2 = tap
+    dx=2).  Row parity resolves through a free outer-dim split; per dy one
+    K=2c dot covers dx=0+1 (both lane halves useful) and one K=2c dot with
+    a zero-bottom weight covers dx=2."""
+    rpb = out_ref.shape[1]
+    r0 = pl.program_id(1) * rpb
+    cp = -(-cols // 8) * 8
+    rows = x2_ref[0, pl.ds(2 * r0, 2 * rpb + 2)]
+    view = rows.reshape(rpb + 1, 2, x2_ref.shape[2], 2 * c_in)
+    acc = None
+    for dy in range(3):
+        plane = (view[0:rpb, dy] if dy < 2
+                 else view[1:rpb + 1, 0])          # (rpb, cpp, 2c)
+        ma = plane[:, 0:cp, :].reshape(rpb * cp, 2 * c_in)
+        part = jax.lax.dot_general(
+            ma, wa_ref[dy], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mb = plane[:, 1:cp + 1, :].reshape(rpb * cp, 2 * c_in)
+        part = part + jax.lax.dot_general(
+            mb, wb_ref[dy], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    y = acc + b_ref[:].astype(jnp.float32)
+    if act:
+        y = y * jax.nn.sigmoid(y)
+    out_ref[0] = y.astype(out_ref.dtype).reshape(rpb, cp, c_out)[:, :cols]
+
+
 @functools.partial(jax.jit, static_argnames=("act", "rows_per_block"))
 def conv3x3s2_silu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                           act: bool = True,
                           rows_per_block: int = 32) -> jnp.ndarray:
     """Stride-2 3x3 conv + SiLU (torch autopad p=1) for even H, W.
 
-    out[i,j] = sum_{dy,dx} w[dy,dx] . xpad[2i+dy, 2j+dx]: space-to-depth
-    the padded input into (H/2+1, W/2+1, 4*c_in) phase blocks; the tap at
-    (dy, dx) lands in phase (dy%2, dx%2) of the packed pixel
-    (i + dy//2, j + dx//2) — a 2x2-tap conv whose (2, 2, 4c, c_out) grouped
-    weight holds each original tap in its phase's channel slot (zero
-    elsewhere).  7/16 of the MACs multiply zeros, but every dot runs at
-    K = 4*c_in lanes, which beats the T(2,128)-tiled XLA lowering ~10x on
-    the neck's downsample convs.  x: (B, H, W, c_in) -> (B, H/2, W/2,
-    c_out)."""
+    out[i,j] = sum_{dy,dx} w[dy,dx] . xpad[2i+dy, 2j+dx].  The padded
+    input's adjacent column pairs are lane-packed by a *bitcast* reshape
+    (NHWC row-major: (hp, wp, c) -> (hp, wp/2, 2c) is free — unlike the
+    earlier 4-phase space-to-depth transpose, whose relayout chain cost
+    more device time than the conv itself: ~30us of reshape+copy per site
+    vs a 17us conv at m widths).  Row parity is a free outer-dim split in
+    VMEM.  Each dy contributes two K=2*c_in dots: dx=0,1 share one dot
+    (both lane halves useful), dx=2 reads the next packed column with a
+    zero-bottom weight.  x: (B, H, W, c_in) -> (B, H/2, W/2, c_out)."""
     bsz, h, w_, c_in = x.shape
     c_out = w.shape[-1]
     assert h % 2 == 0 and w_ % 2 == 0, (h, w_)
-    assert (4 * c_in) % 8 == 0, c_in
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    hp, wp = h + 2, w_ + 2
-    x4 = xp.reshape(bsz, hp // 2, 2, wp // 2, 2, c_in)
-    x4 = x4.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, hp // 2, wp // 2,
-                                                4 * c_in)
-    wg = jnp.zeros((2, 2, 4 * c_in, c_out), w.dtype)
-    for dy in range(3):
-        for dx in range(3):
-            blk = (dy % 2) * 2 + (dx % 2)
-            wg = wg.at[dy // 2, dx // 2,
-                       blk * c_in:(blk + 1) * c_in, :].set(w[dy, dx])
-    return _conv_haloed(x4, wg, b, h // 2, w_ // 2, 1, act, rows_per_block)
+    assert (2 * c_in) % 8 == 0, c_in
+    out_cols = w_ // 2
+    cp = -(-out_cols // 8) * 8
+    # cols: 1 left pad + w_ + right pad out to 2*(cp+1)-1 full-res cols so
+    # the packed view has cp+1 packed columns (tap dx=2 of output col j
+    # reads packed col j+1)
+    pad_r = 2 * (cp + 1) - 1 - w_
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, pad_r), (0, 0)))
+    x2 = xp.reshape(bsz, h + 2, cp + 1, 2 * c_in)       # free bitcast
+    wa = jnp.stack([jnp.concatenate([w[dy, 0], w[dy, 1]], 0)
+                    for dy in range(3)])                 # (3, 2c, c_out)
+    wb = jnp.stack([jnp.concatenate([w[dy, 2], jnp.zeros_like(w[dy, 2])], 0)
+                    for dy in range(3)])
+    out_rows = h // 2
+    rpb = rows_per_block if out_rows % rows_per_block == 0 else out_rows
+    dt = x.dtype
+    kernel = functools.partial(_kernel_s2, cols=out_cols, c_in=c_in,
+                               c_out=c_out, act=act)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, out_rows // rpb),
+        in_specs=[
+            pl.BlockSpec((1, 2 * out_rows + 2, cp + 1, 2 * c_in),
+                         lambda bi, ri: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rpb, out_cols, c_out),
+                               lambda bi, ri: (bi, ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, out_rows, out_cols, c_out), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=jax.default_backend() != "tpu",
+    )(x2, jnp.asarray(wa, dt), jnp.asarray(wb, dt),
+      jnp.asarray(b, jnp.float32))

@@ -98,15 +98,34 @@ def _kernel_u8(x96_ref, w96_ref, w48_ref, b1_ref, w2_ref, b2_ref, out_ref,
     edge = (cols_i == 0) | ((rows_i == 0) & (pl.program_id(1) == 0))
     y1 = jnp.where(edge, jnp.zeros_like(y1), y1)
 
-    acc2 = None
-    for dy in range(2):
-        m = y1[dy:dy + r_out, 0:c1, :].reshape(r_out * c1, c_mid)
+    if w2_ref.ndim == 2:
+        # wide stems (m+): one K=c_mid dot with BOTH dy taps N-packed
+        # (4*c_out columns, host-packed [dy0dx0, dy0dx1, dy1dx0, dy1dx1])
+        # and the dy=1 half re-added with a one-row shift — 6 MXU
+        # tile-passes vs 8 for the two-dot form at c_mid=192 (for
+        # c_mid=128 the two-dot form is already at one full pass per tile
+        # and the packing would only add the halo row)
+        m = y1.reshape(r1 * c1, c_mid)
         part = jax.lax.dot_general(
-            m, w2_ref[dy], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        part = part.reshape(r_out, c1, 2 * c_out)
-        q = part[:, 0:cols, 0:c_out] + part[:, 1:cols + 1, c_out:2 * c_out]
-        acc2 = q if acc2 is None else acc2 + q
+            m, w2_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(r1, c1, 4 * c_out)
+        q = (part[0:r_out, 0:cols, 0:c_out]
+             + part[0:r_out, 1:cols + 1, c_out:2 * c_out]
+             + part[1:r1, 0:cols, 2 * c_out:3 * c_out]
+             + part[1:r1, 1:cols + 1, 3 * c_out:4 * c_out])
+        acc2 = q
+    else:
+        acc2 = None
+        for dy in range(2):
+            m = y1[dy:dy + r_out, 0:c1, :].reshape(r_out * c1, c_mid)
+            part = jax.lax.dot_general(
+                m, w2_ref[dy], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            part = part.reshape(r_out, c1, 2 * c_out)
+            q = (part[:, 0:cols, 0:c_out]
+                 + part[:, 1:cols + 1, c_out:2 * c_out])
+            acc2 = q if acc2 is None else acc2 + q
     y2 = acc2 + b2_ref[:].astype(jnp.float32)
     out_ref[0] = (y2 * jax.nn.sigmoid(y2)).astype(dt)
 
@@ -156,6 +175,8 @@ def stem_apply_pallas_u8(x96u8: jnp.ndarray, w1p: jnp.ndarray,
     w48 = jnp.stack([w1p[2, dx] for dx in range(3)]) * inv
     w2n = jnp.stack([jnp.concatenate([w2p[dy, 0], w2p[dy, 1]], 1)
                      for dy in range(2)])
+    if c_mid > 128:
+        w2n = jnp.concatenate([w2n[0], w2n[1]], 1)   # (c_mid, 4*c_out)
     kernel = functools.partial(_kernel_u8, cols=cols, c_in=c_in,
                                c_mid=c_mid, c_out=c_out)
     return pl.pallas_call(

@@ -58,7 +58,7 @@ def test_close_cancels_queued():
     s.close()
     for f in futs:
         try:
-            f.result(timeout=30)  # either served before close...
+            f.result(timeout=300)  # either served before close...
         except CancelledError:
             pass                  # ...or cancelled — never hangs
 

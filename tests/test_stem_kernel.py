@@ -46,15 +46,19 @@ def test_stem_kernel_bf16(rng):
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
-@pytest.mark.parametrize("b,h,w", [(1, 64, 96), (3, 32, 48)])
-def test_stem_kernel_u8_matches_xla(rng, b, h, w):
+@pytest.mark.parametrize("b,h,w,c2,c2b", [
+    (1, 64, 96, 16, 24), (3, 32, 48, 16, 24),
+    # m-width stem (c_mid = 4*48 = 192 > 128) exercises the dy-N-packed
+    # conv2 branch of the kernel
+    (1, 32, 48, 48, 96),
+])
+def test_stem_kernel_u8_matches_xla(rng, b, h, w, c2, c2b):
     """u8 serving kernel (host-packed bytes, in-kernel normalize) vs the
     normalize-then-stem_apply reference path — exact up to f32 rounding of
     the w/255 weight fold."""
     from multiyolov5_tpu.ops.pallas.stem_kernel import (
         pack_stem96_host, stem_apply_pallas_u8, stem_pack_geometry)
 
-    c2, c2b = 16, 24
     w0 = rng.randn(3, 3, 12, c2).astype(np.float32) * 0.2
     b0 = rng.randn(c2).astype(np.float32) * 0.1
     w1 = rng.randn(3, 3, c2, c2b).astype(np.float32) * 0.2
