@@ -71,8 +71,12 @@ def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
     if b is None:
         b = jnp.zeros((w.shape[-1],), jnp.float32)
     from ..ops.nn import _add_macs
+    from ..ops.pallas.c3_kernel import conv3x3_packed_pallas, packed_q_for
     from ..ops.pallas.conv3x3_kernel import conv3x3_silu_pallas
     _add_macs(x.shape[0] * x.shape[1] * x.shape[2] * int(np.prod(w.shape)))
+    q = packed_q_for(x.shape[-1], x.shape[2]) if d == 1 else 0
+    if q > 1:
+        return conv3x3_packed_pallas(x, w, b, q=q, act=act)
     return conv3x3_silu_pallas(x, w, b, d=d, act=act)
 
 
@@ -110,8 +114,71 @@ def init_c3(ini: Initializer, name: str, c1: int, c2: int, n: int = 1,
         init_bottleneck(ini, f"{name}.m.{j}", c_, c_, g=g, e=1.0)
 
 
+def _c3_packed_fast(ctx: Ctx, name: str, x, c1: int, c2: int, n: int,
+                    shortcut: bool, g: int, e: float):
+    """Whole-C3 fused Pallas kernel on a column-packed layout when eligible
+    (narrow hidden width, packable geometry), else None.  Batch-independent
+    — unlike the neck's batch-1 layout severing it also wins at serving
+    batch sizes, where XLA's batch-in-sublanes emitters run the layer-2
+    C3 at ~2x its batch-1 per-frame cost (see ops/pallas/c3_kernel.py)."""
+    import os
+    if (not ctx.fused or ctx.train or not getattr(ctx, "c3_packed", False)
+            or not getattr(ctx, "sever_heads", True) or g != 1
+            or not isinstance(x, jnp.ndarray) or x.ndim != 4
+            or (jax.default_backend() != "tpu"
+                and not os.environ.get("MULTIYOLOV5_FORCE_C3PACK"))
+            or os.environ.get("MULTIYOLOV5_NO_C3PACK")):
+        return None
+    c_ = int(c2 * e)
+    # measured on v5e (1024x512 serving shapes, round 3): standalone the
+    # kernel wins widely (c_=32 q=4: 69.5us vs XLA 172.9 at bs1), but
+    # in-model XLA's batch-1 emitters + fusion context run the same C3 at
+    # ~53us (s) — the kernel only wins in-model at batch>1, where XLA's
+    # batch-in-sublanes emitters pay ~2x per frame (bs8: 41 vs 122
+    # us/frame in-model).  c_=48 (m) at bs1 A/B'd 823 -> 747 FPS in-model
+    # despite a 182-vs-297 standalone win; c_=64 q=2 loses even
+    # standalone (73.7 vs 42.2) -> excluded.
+    if c_ < 8 or c_ > 48 or c_ % 8:
+        return None
+    force = os.environ.get("MULTIYOLOV5_C3PACK")
+    if force != "1" and x.shape[0] == 1:
+        return None
+    q = 128 // c_
+    bsz, h, w_, _ = x.shape
+    if w_ % q or (w_ // q) % 8 or h % 8:
+        return None
+    cpp = -(-(w_ // q + 2) // 8) * 8
+    if (h + 2 * n) * cpp * q * c1 > (1 << 23):
+        return None
+    p = ctx.p
+    try:
+        wcv1 = p[name + ".cv1.conv.weight"]
+        wcv2 = p[name + ".cv2.conv.weight"]
+        wcv3 = p[name + ".cv3.conv.weight"]
+        mws = tuple((p[f"{name}.m.{j}.cv1.conv.weight"],
+                     p[f"{name}.m.{j}.cv1.conv.bias"],
+                     p[f"{name}.m.{j}.cv2.conv.weight"],
+                     p[f"{name}.m.{j}.cv2.conv.bias"]) for j in range(n))
+    except KeyError:
+        return None
+    if wcv1.shape[-1] != c_ or any(m[2].shape[:2] != (3, 3) for m in mws):
+        return None
+    from ..ops.nn import _add_macs
+    from ..ops.pallas.c3_kernel import c3_packed_pallas
+    px = bsz * h * w_
+    _add_macs(px * (2 * c1 * c_ + 2 * c_ * c2
+                    + n * (c_ * c_ + 9 * c_ * c_)))
+    return c3_packed_pallas(x, wcv1, p[name + ".cv1.conv.bias"],
+                            wcv2, p[name + ".cv2.conv.bias"],
+                            wcv3, p[name + ".cv3.conv.bias"],
+                            mws, q=q, shortcut=shortcut)
+
+
 def c3(ctx: Ctx, name: str, x, c1: int, c2: int, n: int = 1,
        shortcut: bool = True, g: int = 1, e: float = 0.5):
+    y = _c3_packed_fast(ctx, name, x, c1, c2, n, shortcut, g, e)
+    if y is not None:
+        return y
     c_ = int(c2 * e)
     y1 = conv(ctx, name + ".cv1", x, 1, 1)
     for j in range(n):

@@ -284,6 +284,20 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     for row in spec.rows[start_layer:]:
         ctx.dot1x1 = sever and dot_from <= row.i < sever_to
         ctx.pallas3x3 = sever and p3_from <= row.i < sever_to
+        # fused packed-C3 kernel region: the narrow backbone C3s (1/4 and
+        # 1/8 res) — batch-independent, so gated on fused/eval/sever_heads
+        # only, not on the batch-1 ``sever`` flag (blocks._c3_packed_fast)
+        ctx.c3_packed = (fused and not train and ctx.sever_heads
+                         and row.i < neck_start)
+        # at serving batch sizes, chain the backbone downsample convs
+        # through the Pallas s2 kernel so the packed-C3 custom call's
+        # output feeds another custom call (default layout) instead of an
+        # XLA conv wanting a {3,0,2,1} relayout copy (26us/frame at bs8)
+        # opt-in only: A/B'd 1483 -> 1433 FPS at bs8 (the s2 kernel's
+        # whole-image VMEM blocks lose more than the saved relayout copy)
+        ctx.pallas_s2 = (fused and not train and ctx.sever_heads
+                         and x.shape[0] > 1 and row.i < neck_start
+                         and bool(os.environ.get("MULTIYOLOV5_PALLAS_S2")))
         if row.module == "Detect":
             xs = [concrete(cache[j] if j != -1 else y) for j in row.f]
             det_xs = xs

@@ -360,7 +360,16 @@ class Ctx:
                     and g == 1 and d == 1):
                 return self.conv1x1_lazycat(name + ".conv", x, act=bool(act))
             x = x.materialize()
-        if (getattr(self, "pallas3x3", False) and self.fused
+        # pallas_s2 routes ONLY stride-2 3x3s through the Pallas kernel —
+        # used for the backbone downsamples at serving batch sizes, where
+        # chaining custom calls (packed-C3 -> s2 conv) keeps the region in
+        # the default layout and avoids XLA's {3,0,2,1} relayout copies at
+        # the kernel boundary (generic s1 3x3s stay XLA there: the plain
+        # im2col kernel loses on narrow-channel maps, see ops/pallas/
+        # c3_kernel.py docstring)
+        p3 = getattr(self, "pallas3x3", False) or (
+            s == 2 and getattr(self, "pallas_s2", False))
+        if (p3 and self.fused
                 and not self.train and k == 3 and s in (1, 2) and g == 1
                 and p is None and x.ndim == 4 and x.shape[-1] % 8 == 0
                 and (s == 1 or (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
@@ -378,6 +387,13 @@ class Ctx:
                           * int(np.prod(w.shape)))
                 if s == 2:
                     return conv3x3s2_silu_pallas(x, w, b, act=bool(act))
+                if d == 1:
+                    from .pallas.c3_kernel import (conv3x3_packed_pallas,
+                                                  packed_q_for)
+                    q = packed_q_for(x.shape[-1], x.shape[2])
+                    if q > 1:
+                        return conv3x3_packed_pallas(x, w, b, q=q,
+                                                     act=bool(act))
                 return conv3x3_silu_pallas(x, w, b, d=d, act=bool(act))
         if self.fused:
             return self.conv2d(name + ".conv", x, k, s, p, g, d,
