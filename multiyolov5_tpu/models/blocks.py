@@ -74,9 +74,9 @@ def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
     from ..ops.pallas.c3_kernel import conv3x3_packed_pallas, packed_q_for
     from ..ops.pallas.conv3x3_kernel import conv3x3_silu_pallas
     _add_macs(x.shape[0] * x.shape[1] * x.shape[2] * int(np.prod(w.shape)))
-    q = packed_q_for(x.shape[-1], x.shape[2]) if d == 1 else 0
+    q = packed_q_for(x.shape[-1], x.shape[2], d)
     if q > 1:
-        return conv3x3_packed_pallas(x, w, b, q=q, act=act)
+        return conv3x3_packed_pallas(x, w, b, q=q, d=d, act=act)
     return conv3x3_silu_pallas(x, w, b, d=d, act=act)
 
 

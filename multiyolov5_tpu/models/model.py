@@ -293,11 +293,15 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         # through the Pallas s2 kernel so the packed-C3 custom call's
         # output feeds another custom call (default layout) instead of an
         # XLA conv wanting a {3,0,2,1} relayout copy (26us/frame at bs8)
-        # opt-in only: A/B'd 1483 -> 1433 FPS at bs8 (the s2 kernel's
-        # whole-image VMEM blocks lose more than the saved relayout copy)
+        # routing ALL backbone downsamples through the s2 kernel A/B'd
+        # 1483 -> 1433 FPS at bs8; env "1"/"all" = every backbone s2 conv,
+        # "3,5" = those rows only (for scoping A/Bs to the conv that
+        # consumes the packed C3's custom-call output)
+        s2_env = os.environ.get("MULTIYOLOV5_PALLAS_S2", "")
         ctx.pallas_s2 = (fused and not train and ctx.sever_heads
                          and x.shape[0] > 1 and row.i < neck_start
-                         and bool(os.environ.get("MULTIYOLOV5_PALLAS_S2")))
+                         and (s2_env in ("1", "all")
+                              or str(row.i) in s2_env.split(",")))
         if row.module == "Detect":
             xs = [concrete(cache[j] if j != -1 else y) for j in row.f]
             det_xs = xs

@@ -387,13 +387,12 @@ class Ctx:
                           * int(np.prod(w.shape)))
                 if s == 2:
                     return conv3x3s2_silu_pallas(x, w, b, act=bool(act))
-                if d == 1:
-                    from .pallas.c3_kernel import (conv3x3_packed_pallas,
-                                                  packed_q_for)
-                    q = packed_q_for(x.shape[-1], x.shape[2])
-                    if q > 1:
-                        return conv3x3_packed_pallas(x, w, b, q=q,
-                                                     act=bool(act))
+                from .pallas.c3_kernel import (conv3x3_packed_pallas,
+                                               packed_q_for)
+                q = packed_q_for(x.shape[-1], x.shape[2], d)
+                if q > 1:
+                    return conv3x3_packed_pallas(x, w, b, q=q, d=d,
+                                                 act=bool(act))
                 return conv3x3_silu_pallas(x, w, b, d=d, act=bool(act))
         if self.fused:
             return self.conv2d(name + ".conv", x, k, s, p, g, d,

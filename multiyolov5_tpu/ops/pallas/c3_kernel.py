@@ -128,46 +128,51 @@ def _bd(w: jnp.ndarray, q: int) -> jnp.ndarray:
     return jnp.kron(jnp.eye(q, dtype=w.dtype), w)
 
 
-def _pack_w33(w: jnp.ndarray, q: int, ci: int, co: int) -> jnp.ndarray:
+def _pack_w33(w: jnp.ndarray, q: int, ci: int, co: int,
+              d: int = 1) -> jnp.ndarray:
     """(3, 3, ci, co) HWIO 3x3 weight -> (3, 3, q*ci, q*co) packed-column
     tap mats [dy, tap] for tap in (prev, cur, next): output pixel k of a
-    packed col takes w[dy, dx] from input pixel p = k + dx - 1, which lives
-    in the previous (p < 0), current (0 <= p < q), or next (p >= q) packed
-    column."""
+    packed col takes w[dy, dx] from input pixel p = k + (dx-1)*d, which
+    lives in the previous (p < 0), current (0 <= p < q), or next (p >= q)
+    packed column (d <= q keeps every tap within one column of halo)."""
+    assert d <= q, (d, q)
     out = jnp.zeros((3, 3, q * ci, q * co), w.dtype)
     for k in range(q):
         for dx in range(3):
-            p = k + dx - 1
-            tap, pp = (0, q - 1) if p < 0 else (2, 0) if p >= q else (1, p)
+            p = k + (dx - 1) * d
+            tap, pp = ((0, p + q) if p < 0 else (2, p - q) if p >= q
+                       else (1, p))
             out = out.at[:, tap, pp * ci:(pp + 1) * ci,
                          k * co:(k + 1) * co].set(w[:, dx])
     return out
 
 
-def packed_q_for(ci: int, w: int) -> int:
-    """Column-packing factor for a narrow stride-1 3x3 at width ``w`` —
-    0 when the plain im2col kernel (full-K already, or unpackable
-    geometry) should be used instead."""
+def packed_q_for(ci: int, w: int, d: int = 1) -> int:
+    """Column-packing factor for a narrow stride-1 3x3 (dilation ``d``) at
+    width ``w`` — 0 when the plain im2col kernel (full-K already, or
+    unpackable geometry) should be used instead.  Dilated taps reach
+    ±d full-res columns, which stays within one packed-column halo only
+    for d <= q."""
     if ci > 64 or ci % 8 or ci >= 128:
         return 0
     q = 128 // ci
-    while q > 1 and (w % q or (w // q) % 8):
+    while q > 1 and (w % q or (w // q) % 8 or d > q):
         q //= 2
-    return q if q > 1 else 0
+    return q if q > 1 and d <= q else 0
 
 
-def _conv_kernel(x_ref, w33_ref, b_ref, out_ref, *, H, cpq, cpp, q, act):
+def _conv_kernel(x_ref, w33_ref, b_ref, out_ref, *, H, cpq, cpp, q, d, act):
     """Standalone column-packed 3x3/s1 conv (+SiLU): the packed-C3 kernel's
-    tap machinery without the 1x1s.  x_ref: (1, H+2, cpp, q*ci) padded
-    packed image (1-row halo, 1 packed-col left halo); out block
+    tap machinery without the 1x1s.  x_ref: (1, H+2d, cpp, q*ci) padded
+    packed image (d-row halo, 1 packed-col left halo); out block
     (1, rpb, cpq, q*co)."""
     rpb = out_ref.shape[1]
     r0 = pl.program_id(1) * rpb
     qci = x_ref.shape[-1]
-    rows = x_ref[0, pl.ds(r0, rpb + 2)]              # (rpb+2, cpp, q*ci)
+    rows = x_ref[0, pl.ds(r0, rpb + 2 * d)]          # (rpb+2d, cpp, q*ci)
     acc = None
     for dy in range(3):
-        plane = rows[dy:dy + rpb]
+        plane = rows[dy * d:dy * d + rpb]
         for tap in range(3):
             m = plane[:, tap:tap + cpq, :].reshape(rpb * cpq, qci)
             part = jax.lax.dot_general(
@@ -181,12 +186,14 @@ def _conv_kernel(x_ref, w33_ref, b_ref, out_ref, *, H, cpq, cpp, q, act):
                                                  out_ref.shape[-1])
 
 
-@functools.partial(jax.jit, static_argnames=("q", "act"))
+@functools.partial(jax.jit, static_argnames=("q", "d", "act"))
 def conv3x3_packed_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-                          q: int, act: bool = True) -> jnp.ndarray:
+                          q: int, d: int = 1, act: bool = True) -> jnp.ndarray:
     """3x3 stride-1 conv + SiLU on a q-column-packed layout, for narrow
     channel counts (q*ci fills the 128 contraction lanes the plain im2col
-    kernel under-fills at ci < 128).  x: (B, H, W, ci), W % q == 0 and
+    kernel under-fills at ci < 128).  Supports torch-autopad dilation
+    d <= q (the RFB2 cascade's d=2/3 branches, reference
+    models/common.py:470-511).  x: (B, H, W, ci), W % q == 0 and
     (W // q) % 8 == 0; w: (3, 3, ci, co) HWIO; returns (B, H, W, co)."""
     bsz, h, w_, ci = x.shape
     co = w.shape[-1]
@@ -195,20 +202,20 @@ def conv3x3_packed_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     cpp = -(-(cpq + 2) // 8) * 8
     xq = x.reshape(bsz, h, cpq, q * ci)
     xq = jax.lax.dynamic_update_slice(
-        jnp.zeros((bsz, h + 2, cpp, q * ci), dt), xq, (0, 1, 1, 0))
+        jnp.zeros((bsz, h + 2 * d, cpp, q * ci), dt), xq, (0, d, 1, 0))
     rpb = h
     for cand in (32, 16, 8):
         if h % cand == 0:
             rpb = cand
             break
-    w33 = _pack_w33(w, q, ci, co)
+    w33 = _pack_w33(w, q, ci, co, d)
     kernel = functools.partial(_conv_kernel, H=h, cpq=cpq, cpp=cpp, q=q,
-                               act=act)
+                               d=d, act=act)
     return pl.pallas_call(
         kernel,
         grid=(bsz, h // rpb),
         in_specs=[
-            pl.BlockSpec((1, h + 2, cpp, q * ci),
+            pl.BlockSpec((1, h + 2 * d, cpp, q * ci),
                          lambda bi, ri: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),

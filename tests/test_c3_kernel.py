@@ -62,21 +62,23 @@ from multiyolov5_tpu.ops.pallas.c3_kernel import (conv3x3_packed_pallas,
                                                   packed_q_for)
 
 
-@pytest.mark.parametrize("b,h,w,ci,co,q,act", [
-    (1, 32, 64, 32, 64, 4, True),
-    (2, 16, 32, 64, 128, 2, True),
-    (1, 24, 48, 48, 48, 2, False),
+@pytest.mark.parametrize("b,h,w,ci,co,q,d,act", [
+    (1, 32, 64, 32, 64, 4, 1, True),
+    (2, 16, 32, 64, 128, 2, 1, True),
+    (1, 24, 48, 48, 48, 2, 1, False),
+    (1, 16, 32, 64, 64, 2, 2, True),    # RFB2 branch1 (dilation 2)
+    (1, 16, 32, 32, 32, 4, 3, True),    # dilation 3, q=4
 ])
-def test_conv3x3_packed_matches_xla(rng, b, h, w, ci, co, q, act):
+def test_conv3x3_packed_matches_xla(rng, b, h, w, ci, co, q, d, act):
     x = jnp.asarray(rng.rand(b, h, w, ci).astype(np.float32))
     wt = jnp.asarray((rng.randn(3, 3, ci, co) / np.sqrt(9 * ci))
                      .astype(np.float32))
     bi = jnp.asarray(rng.randn(co).astype(np.float32) * 0.1)
     y = jax.lax.conv_general_dilated(
-        x, wt, (1, 1), ((1, 1), (1, 1)),
+        x, wt, (1, 1), ((d, d), (d, d)), rhs_dilation=(d, d),
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + bi
     want = np.asarray(y * jax.nn.sigmoid(y) if act else y)
-    got = np.asarray(conv3x3_packed_pallas(x, wt, bi, q=q, act=act))
+    got = np.asarray(conv3x3_packed_pallas(x, wt, bi, q=q, d=d, act=act))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
@@ -87,6 +89,9 @@ def test_packed_q_for():
     assert packed_q_for(128, 256) == 0   # already full-K
     assert packed_q_for(48, 250) == 0    # unpackable width
     assert packed_q_for(32, 144) == 2    # falls back to a legal q
+    assert packed_q_for(64, 128, d=2) == 2   # dilation within reach
+    assert packed_q_for(64, 128, d=3) == 0   # d > q -> plain kernel
+    assert packed_q_for(32, 256, d=3) == 4
 
 
 def test_c3_packed_fast_hook_dispatches(rng, monkeypatch):
