@@ -237,9 +237,19 @@ class Ctx:
         flattened domain so XLA keeps it in the dot's epilogue (a separate
         post-reshape SiLU becomes its own ~3-7us HBM round-trip per conv)."""
         w = self.p[name + ".weight"].astype(x.dtype)
-        if (getattr(self, "dot1x1", False) and not self.train and self.fused
+        # train-mode narrow 1x1s also route through the dot form: XLA's
+        # weight-gradient for a 32/64-channel 1x1 conv is a pathological
+        # skinny contraction (~0.35 ms/step each for the layer-2 C3's 1x1s
+        # at bs8/832px, traced round 3); the dot's dW is a plain big-K
+        # matmul.  Opt-out knob for A/Bs.
+        train_dot = (self.train and k == 1 and x.ndim == 4
+                     and x.shape[-1] <= 64
+                     and not _os.environ.get("MULTIYOLOV5_NO_TRAIN_DOT1X1"))
+        if ((getattr(self, "dot1x1", False) and not self.train and self.fused
                 and not out_nchw and x.ndim == 4
-                and k == 1 and s == 1 and g == 1 and d == 1):
+                and k == 1 and s == 1 and g == 1 and d == 1)
+                or (train_dot and s == 1 and g == 1 and d == 1
+                    and not out_nchw)):
             # 1x1 conv as a dot_general over (B*H*W, C)-flattened pixels.
             # At serving batch sizes XLA assigns batch-1 1x1 convs a
             # T(2,128) {3,0,2,1} tiling and propagates it through the
