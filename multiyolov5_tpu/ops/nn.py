@@ -243,7 +243,7 @@ class Ctx:
         # at bs8/832px, traced round 3); the dot's dW is a plain big-K
         # matmul.  Opt-out knob for A/Bs.
         train_dot = (self.train and k == 1 and x.ndim == 4
-                     and x.shape[-1] <= 64
+                     and x.shape[-1] <= int(_os.environ.get("MULTIYOLOV5_TRAIN_DOT1X1_MAXC", 64))
                      and not _os.environ.get("MULTIYOLOV5_NO_TRAIN_DOT1X1"))
         if ((getattr(self, "dot1x1", False) and not self.train and self.fused
                 and not out_nchw and x.ndim == 4
@@ -268,6 +268,46 @@ class Ctx:
             if act:
                 y = jax.nn.silu(y)
             return y.reshape(bsz, hh, ww, -1)
+        # train-mode narrow 3x3s as column-packed tap dots (the pure-XLA
+        # differentiable form of ops/pallas/c3_kernel's packed conv).
+        # OPT-IN ONLY: A/B'd 35.2 -> 41.0 ms/step on the dual-task bench —
+        # unlike the 1x1 dot route above, the 9-tap form's pad/reshape
+        # boundaries plus its ~3.6x MAC padding waste cost more than XLA's
+        # narrow conv emitters here.  Kept for future A/Bs on other
+        # geometries (same math up to f32 tap reassociation).
+        if (self.train and k == 3 and s == 1 and g == 1 and x.ndim == 4
+                and not out_nchw and p is None and x.shape[-1] <= 64
+                and _os.environ.get("MULTIYOLOV5_TRAIN_PACK3X3")
+                and w.shape[0] == 3 and w.shape[1] == 3):
+            from .pallas.c3_kernel import _pack_w33, packed_q_for
+            q = packed_q_for(x.shape[-1], x.shape[2], d)
+            if q > 1:
+                bsz, hh, ww, ci = x.shape
+                co = w.shape[-1]
+                _add_macs(bsz * hh * ww * 9 * ci * co)
+                cpq = ww // q
+                cpp = -(-(cpq + 2) // 8) * 8
+                xq = x.reshape(bsz, hh, cpq, q * ci)
+                xq = jax.lax.dynamic_update_slice(
+                    jnp.zeros((bsz, hh + 2 * d, cpp, q * ci), x.dtype), xq,
+                    (0, d, 1, 0))
+                w33 = _pack_w33(w, q, ci, co, d)
+                acc = None
+                for dy in range(3):
+                    plane = xq[:, dy * d:dy * d + hh]
+                    for tap in range(3):
+                        m = plane[:, :, tap:tap + cpq, :].reshape(
+                            bsz * hh * cpq, q * ci)
+                        part = jax.lax.dot_general(
+                            m, w33[dy, tap], (((1,), (0,)), ((), ())),
+                            preferred_element_type=x.dtype)
+                        acc = part if acc is None else acc + part
+                b = self.p.get(name + ".bias")
+                if b is not None:
+                    acc = acc + jnp.tile(b, q).astype(acc.dtype)
+                if act:
+                    acc = jax.nn.silu(acc)
+                return acc.reshape(bsz, hh, ww, co)
         ph, pw = _pair(autopad(k, p, d))
         sh, sw = _pair(s)
         y = jax.lax.conv_general_dilated(
