@@ -15,8 +15,15 @@ the reference reports 140+ FPS fp16 for its *fastest* (base) seg head on the
 author's GPU (reference models/yolo.py:127); the PSP head benched here is
 heavier.  vs_baseline = fps / 140.
 
+The ONE stdout JSON line carries the whole perf story so every README claim
+is backed by the driver-recorded artifact (round-3 verdict item 2): the
+flagship pspv5s bs1 number (best-of-reps) with median + spread, plus
+sub-metrics {bs8_fps, pspv5m_fps, train_step_ms}.
+
 Env knobs: BENCH_CFG (zoo name), BENCH_WEIGHTS (.pt/.npz), BENCH_ITERS,
-BENCH_REPS.  Prints ONE JSON line {metric, value, unit, vs_baseline}.
+BENCH_REPS, BENCH_BATCH, BENCH_SKIP_EXTRAS (skip m/bs8 sub-benches),
+BENCH_SKIP_TRAIN.  Prints ONE JSON line {metric, value, unit, vs_baseline,
+...submetrics}.
 """
 
 import json
@@ -26,6 +33,8 @@ import time
 
 import numpy as np
 
+TUNNEL_RTT_S = 0.027  # measured host<->device sync round-trip, subtracted
+
 
 def bench_train(out_path="TRAIN_BENCH.json"):
     """Training throughput artifact (round-1 verdict item 5).
@@ -34,7 +43,8 @@ def bench_train(out_path="TRAIN_BENCH.json"):
     seg fwd/bwd (bs8 @1024x512 Cityscapes crop) + SGD + EMA — repeated
     in-graph, device-true.  Reference hot loop: train.py:335-401.  Writes
     {train_step_ms, img_per_s} to TRAIN_BENCH.json (stdout keeps the single
-    inference JSON line for the driver).
+    inference JSON line for the driver) and returns the record so the main
+    JSON line can embed it.
     """
     import jax
     import jax.lax as lax
@@ -95,7 +105,7 @@ def bench_train(out_path="TRAIN_BENCH.json"):
         t0 = time.perf_counter()
         out = rep(ts)
         float(out[1])
-        best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
+        best = min(best, (time.perf_counter() - t0 - TUNNEL_RTT_S) / iters)
     rec = {
         "metric": f"pspv5s_dual_train_step_bs{B}_832det_1024x512seg",
         "train_step_ms": round(best * 1000, 2),
@@ -105,43 +115,34 @@ def bench_train(out_path="TRAIN_BENCH.json"):
     with open(out_path, "w") as fh:
         json.dump(rec, fh)
     print(f"train bench: {rec}", file=sys.stderr)
+    return rec
 
 
-def main():
+def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
+                  weights=""):
+    """Device-true FPS of the fused serving pipeline at one (cfg, bs).
+
+    Returns {fps_best, fps_median, spread_pct, gflops_per_frame}: best-of-reps
+    is the headline (least tunnel noise), median + spread make regressions
+    attributable (round-3 verdict weak #2).
+    """
     import jax
-
-    # persistent compile cache: the in-graph-repeated pipeline takes minutes
-    # to compile cold through the tunnel; warm runs (same machine/XLA) start
-    # in seconds
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.lax as lax
     import jax.numpy as jnp
 
     from multiyolov5_tpu.engine import Engine, space_to_depth_host
     from multiyolov5_tpu.models.model import forward
+    from multiyolov5_tpu.ops import stem as stem_lib
     from multiyolov5_tpu.ops.nms import nms_batched
     from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import (
         upsample_argmax_planar)
     from multiyolov5_tpu.ops.resize import resize_bilinear
 
-    # 30 in-graph iters (~30ms/rep) left the measurement at the mercy of the
-    # tunnel's ms-scale RTT jitter (round-1 numbers spread 958-1166 FPS run to
-    # run); 200+ iters amortize it to <2%
-    iters = int(os.environ.get("BENCH_ITERS", 200))
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    weights = os.environ.get("BENCH_WEIGHTS", "")
-    cfg = os.environ.get("BENCH_CFG", "yolov5s_city_seg")
-
     eng = Engine(weights or None, cfg=cfg, half=True)
     spec, params, state = eng.spec, eng.params, eng.state
     in_hw = (512, 1024)           # 1024x512 input (reference README.md:13)
     orig_hw = (1024, 2048)        # native Cityscapes frame
-    from multiyolov5_tpu.ops import stem as stem_lib
 
-    bs = int(os.environ.get("BENCH_BATCH", 1))   # frames per call (serving)
     frame = np.random.randint(0, 255, (bs, *in_hw, 3), np.uint8)
     seg_up = jax.default_backend() != "tpu"  # fused mask kernel on TPU
     fold = stem_lib.can_fold_stem(spec)      # 4x4-s2d folded stem
@@ -209,25 +210,81 @@ def main():
 
     r = rep(x0)
     float(r)  # compile + sync
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         r = rep(x0)
         float(r)  # fetch-sync
-        best = min(best, (time.perf_counter() - t0 - 0.027) / iters)
-    fps = bs / best
+        times.append((time.perf_counter() - t0 - TUNNEL_RTT_S) / iters)
+    times = np.asarray(times)
+    fps = bs / times
+    from multiyolov5_tpu.utils.profiling import estimate_gflops
+    return {
+        "fps_best": float(fps.max()),
+        "fps_median": float(np.median(fps)),
+        "spread_pct": float((fps.max() - fps.min()) / fps.max() * 100.0),
+        "gflops_per_frame": estimate_gflops(spec, params, in_hw, state=state),
+    }
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the in-graph-repeated pipeline takes minutes
+    # to compile cold through the tunnel; warm runs (same machine/XLA) start
+    # in seconds
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # 30 in-graph iters (~30ms/rep) left the measurement at the mercy of the
+    # tunnel's ms-scale RTT jitter (round-1 numbers spread 958-1166 FPS run to
+    # run); 200+ iters amortize it to <2%
+    iters = int(os.environ.get("BENCH_ITERS", 200))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    weights = os.environ.get("BENCH_WEIGHTS", "")
+    cfg = os.environ.get("BENCH_CFG", "yolov5s_city_seg")
+    bs = int(os.environ.get("BENCH_BATCH", 1))   # frames per call (serving)
+
+    main_res = bench_serving(cfg, bs=bs, iters=iters, reps=reps,
+                             weights=weights)
+    print(f"serving {cfg} bs{bs}: {main_res}", file=sys.stderr)
+
+    extras = {}
+    if not os.environ.get("BENCH_SKIP_EXTRAS") and bs == 1 \
+            and cfg == "yolov5s_city_seg" and not weights:
+        try:  # batched serving (round-3 verdict item 1: bs8 must beat bs1)
+            r8 = bench_serving(cfg, bs=8, iters=max(iters // 4, 25),
+                               reps=reps)
+            print(f"serving {cfg} bs8: {r8}", file=sys.stderr)
+            extras["bs8_fps"] = round(r8["fps_best"], 1)
+            extras["bs8_spread_pct"] = round(r8["spread_pct"], 1)
+        except Exception as e:
+            print(f"bs8 bench failed: {e}", file=sys.stderr)
+        try:  # pspv5m (round-3 verdict item 2: m number must be recorded)
+            rm = bench_serving("yolov5m_city_seg", bs=1,
+                               iters=max(iters // 2, 50), reps=reps)
+            print(f"serving yolov5m_city_seg bs1: {rm}", file=sys.stderr)
+            extras["pspv5m_fps"] = round(rm["fps_best"], 1)
+            extras["pspv5m_mfu"] = round(
+                rm["fps_best"] * rm["gflops_per_frame"] / 1000.0 / 197.0, 3)
+        except Exception as e:
+            print(f"pspv5m bench failed: {e}", file=sys.stderr)
 
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         try:
-            bench_train()
+            trec = bench_train()
+            extras["train_step_ms"] = trec["train_step_ms"]
+            extras["train_img_per_s"] = trec["img_per_s"]
         except Exception as e:  # train artifact is best-effort extra
             print(f"train bench failed: {e}", file=sys.stderr)
 
     # analytic utilization: conv GFLOPs/frame at the bench geometry (from
-    # the shape-traced counter, utils/profiling.estimate_gflops) x measured
-    # FPS, vs the v5e's 197 bf16 peak TFLOP/s (round-2 verdict item 4)
-    from multiyolov5_tpu.utils.profiling import estimate_gflops
-    gflops = estimate_gflops(spec, params, in_hw, state=state)
+    # the shape-traced counter, utils/profiling.estimate_gflops, pinned by
+    # tests/test_profiling.py) x measured FPS, vs the v5e's 197 bf16 peak
+    # TFLOP/s (round-2 verdict item 4)
+    fps = main_res["fps_best"]
+    gflops = main_res["gflops_per_frame"]
     tflops = fps * gflops / 1000.0
     print(json.dumps({
         "metric": ("pspv5s" if cfg == "yolov5s_city_seg" else cfg)
@@ -235,9 +292,12 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 140.0, 3),
+        "fps_median": round(main_res["fps_median"], 1),
+        "reps_spread_pct": round(main_res["spread_pct"], 1),
         "gflops_per_frame": round(gflops, 1),
         "tflops_per_s": round(tflops, 1),
         "mfu_vs_197T_bf16_peak": round(tflops / 197.0, 3),
+        **extras,
     }))
 
 

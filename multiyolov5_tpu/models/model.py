@@ -159,12 +159,22 @@ def _apply_row(ctx: Ctx, row, x):
         if any(isinstance(t, LazyCat) for t in x):
             # virtual concat: parts stay at native res; the consumer's 1x1
             # convs split per part (upsample-after — see ops/nn.LazyCat)
-            out_hw = next(t.out_hw for t in x if isinstance(t, LazyCat))
+            lazies = [t for t in x if isinstance(t, LazyCat)]
+            out_hw = lazies[0].out_hw
+            # merging takes mode/align_corners from the first LazyCat; a
+            # config mixing resize modes in one concat must not be merged
+            # silently with the wrong mode
+            if any((t.mode, t.align_corners)
+                   != (lazies[0].mode, lazies[0].align_corners)
+                   for t in lazies[1:]):
+                raise ValueError(
+                    "Concat over LazyCat parts with mixed resize modes: "
+                    + str([(t.mode, t.align_corners) for t in lazies]))
             parts = []
             for t in x:
                 parts.extend(t.parts if isinstance(t, LazyCat) else [t])
-            mode = next(t.mode for t in x if isinstance(t, LazyCat))
-            return LazyCat(parts, out_hw, mode)
+            return LazyCat(parts, out_hw, lazies[0].mode,
+                           lazies[0].align_corners)
         return jnp.concatenate(x, axis=-1)
     if m == "nn.Upsample":
         scale, mode = a[1], a[2]

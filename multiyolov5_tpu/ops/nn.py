@@ -34,6 +34,12 @@ Params = Dict[str, jnp.ndarray]
 BN_EPS = 1e-3      # reference utils/torch_utils.py initialize_weights
 BN_MOMENTUM = 0.03
 
+try:  # parsed once at import; malformed values fall back to the default
+    _TRAIN_DOT1X1_MAXC = int(_os.environ.get("MULTIYOLOV5_TRAIN_DOT1X1_MAXC",
+                                             64))
+except ValueError:
+    _TRAIN_DOT1X1_MAXC = 64
+
 # -- analytic FLOP accounting -------------------------------------------------
 # When a counter is active (utils/profiling.estimate_gflops runs the forward
 # under jax.eval_shape with one installed), every conv path below records its
@@ -243,7 +249,7 @@ class Ctx:
         # at bs8/832px, traced round 3); the dot's dW is a plain big-K
         # matmul.  Opt-out knob for A/Bs.
         train_dot = (self.train and k == 1 and x.ndim == 4
-                     and x.shape[-1] <= int(_os.environ.get("MULTIYOLOV5_TRAIN_DOT1X1_MAXC", 64))
+                     and x.shape[-1] <= _TRAIN_DOT1X1_MAXC
                      and not _os.environ.get("MULTIYOLOV5_NO_TRAIN_DOT1X1"))
         if ((getattr(self, "dot1x1", False) and not self.train and self.fused
                 and not out_nchw and x.ndim == 4

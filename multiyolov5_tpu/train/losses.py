@@ -147,7 +147,15 @@ class DetectionLoss:
             # construction (t_flat is the (B, T) reshape), so the row/col
             # one-hots contract batched over images — 8x fewer MACs than a
             # flat (B*ny)-wide one-hot.
-            if os.environ.get("MULTIYOLOV5_DET_GATHER") == "scatter":
+            # memory bound of the one-hot route: the row-contracted
+            # intermediate is (B, na, T*5, nx, no).  ~24M elems at the
+            # benched geometry (bs8 / T128 / 832px / nc10); guard against
+            # huge grids or target caps blowing it up and fall back to the
+            # indexed gather (which also avoids 0*inf -> NaN should preds
+            # overflow in bf16 — the one-hot zero no longer annihilates).
+            onehot_elems = B * na * (T * 5) * pi.shape[3] * pi.shape[-1]
+            if (os.environ.get("MULTIYOLOV5_DET_GATHER") == "scatter"
+                    or onehot_elems > (1 << 28)):
                 ps = pi[b_idx, a_idx, gj_b, gi_b]              # (N, na, 5, no)
             else:
                 no = pi.shape[-1]

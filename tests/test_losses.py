@@ -138,6 +138,25 @@ def test_detection_loss_close_with_collisions(rng, ref_compute_loss):
     np.testing.assert_allclose(got[1], ti[1], rtol=1e-2)            # obj close
 
 
+def test_detection_loss_scatter_gather_path_matches(rng, monkeypatch):
+    """The indexed-gather fallback (MULTIYOLOV5_DET_GATHER=scatter, also the
+    automatic route for huge grids) computes the same loss as the default
+    one-hot contraction."""
+    preds, tgt = _rand_case(rng)
+    dl = DetectionLoss(nc=10, na=3,
+                       anchors=ANCHORS.reshape(3, 3, 2) / np.array(STRIDES)[:, None, None],
+                       strides=STRIDES, hyp=HYP)
+    per_img = [tgt[tgt[:, 0] == i][:, 1:] for i in range(2)]
+    padded, mask = pad_targets(per_img, max_t=16)
+    jp = [jnp.asarray(p) for p in preds]
+    loss_oh, items_oh = dl(jp, jnp.asarray(padded), jnp.asarray(mask))
+    monkeypatch.setenv("MULTIYOLOV5_DET_GATHER", "scatter")
+    loss_sc, items_sc = dl(jp, jnp.asarray(padded), jnp.asarray(mask))
+    np.testing.assert_allclose(float(loss_oh), float(loss_sc), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(items_oh), np.asarray(items_sc),
+                               rtol=1e-5)
+
+
 def test_detection_loss_empty_targets(rng, ref_compute_loss):
     preds, _ = _rand_case(rng)
     tgt = np.zeros((0, 6), np.float32)
