@@ -75,6 +75,26 @@ def shard_batch(mesh: Mesh, tree):
         tree)
 
 
+def shard_train_batch(mesh: Mesh, args):
+    """Place the train-step batch tuple (det_imgs, det_tgts, det_mask,
+    seg_imgs, seg_lbls) to match make_train_step's in_shardings: batch dim
+    over 'data' everywhere, plus the image/label H axis over 'model' when
+    the mesh carries a non-trivial model axis (dp x sp training)."""
+    spatial = "model" in mesh.axis_names and mesh.shape["model"] > 1
+    if not spatial:
+        return shard_batch(mesh, args)
+    det_imgs, det_tgts, det_mask, seg_imgs, seg_lbls = args
+    img_sh = NamedSharding(mesh, P("data", "model"))
+    sh = data_sharding(mesh)
+    if jax.process_count() == 1:
+        put = jax.device_put
+    else:
+        def put(x, s):
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+    return (put(det_imgs, img_sh), put(det_tgts, sh), put(det_mask, sh),
+            put(seg_imgs, img_sh), put(seg_lbls, img_sh))
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     if jax.process_count() == 1:

@@ -198,9 +198,25 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         from jax.sharding import NamedSharding, PartitionSpec as P
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
+        # dp x sp training: when the mesh carries a non-trivial 'model'
+        # axis, additionally shard the image H axis over it — the 2-D
+        # analog of sequence-parallel training.  GSPMD partitions every
+        # conv (halo exchanges for the 3x3 taps) and the loss reductions;
+        # params/state stay replicated so the gradient psum covers both
+        # axes.  The train-mode forward is pure XLA (the Pallas fast paths
+        # are serving-only), so no custom-call partitioning is needed —
+        # but the fused seg-CE kernel must be off (cli sets
+        # MULTIYOLOV5_XLA_SEGCE or seg_loss!='ce'); assert it.
+        spatial = "model" in mesh.axis_names and mesh.shape["model"] > 1
+        if spatial and fused_ce:
+            raise ValueError(
+                "dp x sp training requires the pure-XLA seg loss: set "
+                "MULTIYOLOV5_XLA_SEGCE=1 (the Pallas seg-CE custom call "
+                "cannot be spatially partitioned by GSPMD)")
+        img = NamedSharding(mesh, P("data", "model")) if spatial else data
         step = jax.jit(
             step,
-            in_shardings=(repl, data, data, data, data, data, repl, repl,
+            in_shardings=(repl, img, data, data, img, img, repl, repl,
                           repl, repl, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,) if donate else ())

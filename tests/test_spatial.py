@@ -16,6 +16,70 @@ from multiyolov5_tpu.parallel.spatial import (spatial_forward,
                                               spatial_sharding_ok)
 
 
+def test_spatial_train_step_matches_single_device():
+    """dp2 x sp4 TRAINING: the full dual-task step (det+seg fwd/bwd, SGD,
+    EMA) with the image H axis sharded over the mesh 'model' axis must
+    reproduce the single-device step (same global batch) — the training
+    extension of the serving-only spatial path (round-3 verdict item 5)."""
+    from multiyolov5_tpu.models.config import load_spec
+    from multiyolov5_tpu.ops.stem import can_fold_stem, pack_stem_host
+    from multiyolov5_tpu.parallel.mesh import (replicate, shard_batch,
+                                            shard_train_batch)
+    from multiyolov5_tpu.train.losses import pad_targets
+    from multiyolov5_tpu.train.trainer import (TrainConfig, create_train_state,
+                                               make_train_step)
+
+    hyp = {"box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0,
+           "anchor_t": 4.0, "fl_gamma": 0.0, "label_smoothing": 0.1,
+           "weight_decay": 0.0005}
+    spec = load_spec("yolov5s_city_seg")
+    B, H, W = 2, 128, 64
+    pack = can_fold_stem(spec)
+    cfg = TrainConfig(hyp=hyp, batch_size=B, seg_batch_size=B,
+                      compute_dtype=jnp.float32, max_targets=8,
+                      pack_stem=pack)
+    ts, groups = create_train_state(spec, cfg, seed=0)
+    ts_host = jax.tree.map(np.asarray, ts)
+
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(B, H, W, 3) * 255).astype(np.uint8)
+    labels = []
+    for _ in range(B):
+        l = np.zeros((2, 5), np.float32)
+        l[:, 0] = rng.randint(0, spec.nc, 2)
+        l[:, 1:3] = rng.rand(2, 2) * 0.6 + 0.2
+        l[:, 3:5] = rng.rand(2, 2) * 0.2 + 0.1
+        labels.append(l)
+    tgts, mask = pad_targets(labels, cfg.max_targets)
+    seg_imgs = rng.rand(B, H, W, 3).astype(np.float32)
+    seg_lbls = rng.randint(-1, spec.n_segcls, (B, H, W))
+    if pack:
+        imgs = pack_stem_host(imgs)
+        seg_imgs = pack_stem_host(seg_imgs)
+    raw = tuple(jnp.asarray(a) for a in (imgs, tgts, mask, seg_imgs,
+                                         seg_lbls))
+    key = jax.random.PRNGKey(0)
+    lr, wd, mom = jnp.float32(0.01), jnp.float32(0.01), jnp.float32(0.9)
+
+    mesh = make_mesh(2, 4)
+    step_sp = make_train_step(spec, cfg, groups, mesh=mesh, donate=False)
+    ts_sp, m_sp = step_sp(replicate(mesh, ts), *shard_train_batch(mesh, raw),
+                          replicate(mesh, key), lr, wd, mom,
+                          jnp.asarray(True))
+
+    step0 = make_train_step(spec, cfg, groups, mesh=None, donate=False)
+    ts0, m0 = step0(ts_host, *raw, key, lr, wd, mom, jnp.asarray(True))
+
+    np.testing.assert_allclose(float(m_sp["total"]), float(m0["total"]),
+                               rtol=1e-5)
+    for part in ("params", "ema_params", "state"):
+        for k in ts0[part]:
+            np.testing.assert_allclose(
+                np.asarray(ts_sp[part][k]), np.asarray(ts0[part][k]),
+                rtol=2e-4, atol=5e-6,
+                err_msg=f"{part}[{k}] diverges under dp x sp")
+
+
 @pytest.mark.parametrize("n_data,n_model", [(2, 4), (1, 8)])
 def test_spatial_forward_matches_single_device(n_data, n_model):
     m = Model("yolov5s_city_seg")
