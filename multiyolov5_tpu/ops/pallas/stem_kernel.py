@@ -161,9 +161,11 @@ def stem_apply_pallas_u8(x96u8: jnp.ndarray, w1p: jnp.ndarray,
     # (the 64 MB scoped limit below covers the f32 conv1 accumulator for
     # wide stems).  f32 out is the test path: f32 temporaries double the
     # stack, so keep blocks small there.
-    rpb_max = 8 if dt == jnp.float32 else 32
+    import os as _os
+    rpb_max = 8 if dt == jnp.float32 else int(
+        _os.environ.get("MULTIYOLOV5_STEM_RPB", 32))
     rpb = h
-    for cand in (32, 16, 8):
+    for cand in (128, 64, 32, 16, 8):
         if cand <= rpb_max and h % cand == 0:
             rpb = cand
             break

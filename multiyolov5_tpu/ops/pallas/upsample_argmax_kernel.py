@@ -141,31 +141,40 @@ def _upsample_argmax_tpu(x: jnp.ndarray, out_hw, via_hw, align_corners):
     return jnp.stack(outs)[:, :h0, :w0]
 
 
-def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, *, c):
+def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c):
     """Planar input (c, hp, wp): each class plane is a native (sublane,
     lane)-tiled 2-D slab — two standard matmuls per class, no relayouts.
     This is the preferred form: feeding the NHWC kernel above from a
     fixed-layout producer (a conv inside the same jit) forces a
     lane-merge relayout of the (h, w, c) output that costs ~4 ms; the
-    seg heads emit planar logits directly (ops/nn.Ctx.conv2d out_nchw)."""
+    seg heads emit planar logits directly (ops/nn.Ctx.conv2d out_nchw).
+
+    The column-expanded planes ``t_c = plane_c @ MW_block`` depend only on
+    the w-block, so they are computed once per w-block (grid is (j, i)
+    with the h-block i iterating fastest) into ``t_ref`` scratch and
+    reused across all h-blocks — recomputing them per h-block was ~25% of
+    the kernel's MACs at Cityscapes geometry."""
     prec = (jax.lax.Precision.HIGHEST
             if x_ref.dtype == jnp.float32 else None)
     bits = max(5, int(c - 1).bit_length())
     lim = (1 << bits) - 1
     mh = mh_ref[:]
-    mwt = mwt_ref[:]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _fill_t():
+        mwt = mwt_ref[:]
+        for ci in range(c):
+            # column-expand first: (h, w)@(w, bw) is tiny (w lanes), and
+            # the row-expand then contracts over only h instead of w —
+            # 302 MFLOP vs 554 per class at 64x128 -> 1024x2048 (the other
+            # association order made the kernel ~35% slower)
+            t_ref[ci] = jax.lax.dot_general(
+                x_ref[ci], mwt, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec).astype(t_ref.dtype)
 
     def key_of(ci):
-        plane = x_ref[ci]
-        # column-expand first: (h, w)@(w, bw) is tiny (w lanes), and the
-        # row-expand then contracts over only h instead of w — 302 MFLOP
-        # vs 554 per class at 64x128 -> 1024x2048 (the other association
-        # order made the kernel ~35% slower)
-        t = jax.lax.dot_general(plane, mwt,
-                                dimension_numbers=(((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
-        p = jax.lax.dot_general(mh, t.astype(plane.dtype),
+        p = jax.lax.dot_general(mh, t_ref[ci],
                                 dimension_numbers=(((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
@@ -206,20 +215,26 @@ def _upsample_argmax_planar_tpu(xp: jnp.ndarray, out_hw, via_hw,
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
 
     kernel = functools.partial(_kernel_planar, c=c)
+    # grid (j, i): the h-block i iterates fastest so the per-w-block
+    # column-expand scratch (t_ref) fills once at i==0 and is reused
     call = pl.pallas_call(
         kernel,
-        grid=(h0p // bh, w0p // bw),
+        grid=(w0p // bw, h0p // bh),
         in_specs=[
-            pl.BlockSpec((c, hp, wp), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((c, hp, wp), lambda j, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, hp), lambda i, j: (i, 0),
+            pl.BlockSpec((bh, hp), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, bw), lambda i, j: (0, j),
+            pl.BlockSpec((wp, bw), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bh, bw), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h0p, w0p), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((c, hp, bw), dt)],
+        # the column-expand scratch (c, hp, bw) overflows the 16 MB default
+        # scoped budget in the f32 test path; v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )
     outs = [call(xp[i], mh_j, mwt_j) for i in range(b)]
     return jnp.stack(outs)[:, :h0, :w0]

@@ -125,9 +125,9 @@ def _images():
                   if f.lower().endswith((".jpg", ".png")))
 
 
-def _letterbox_square(im0):
+def _letterbox_square(im0, size=IMG_SIZE):
     from multiyolov5_tpu.data.letterbox import letterbox
-    img, _, _ = letterbox(im0, (IMG_SIZE, IMG_SIZE), auto=False)
+    img, _, _ = letterbox(im0, (size, size), auto=False)
     return img
 
 
@@ -221,6 +221,119 @@ def test_fp32_parity_all_images(staged, ref_results):
                 f"{name}: {matched}/{len(a)} matched"
         mismatch = (got["cls_map"] != want["cls_map"]).mean()
         assert mismatch < 1e-3, f"{name}: {mismatch:.4%} mask mismatch"
+
+
+def test_fp32_parity_832_geometry(staged):
+    """832: the reference's TRAIN img-size (README.md:91, check_img_size
+    stride rule detect.py:101) and — unlike 1024 — not /128-divisible, so
+    the Pallas packed-conv kernels compile their q=2 shapes instead of q=4
+    (round-3 kernels gate on column geometry).  Same parity bars as @1024
+    on a 3-image subset."""
+    import cv2
+    import torch
+    import torch.nn.functional as F
+
+    sys.path.insert(0, REF)
+    from utils.general import non_max_suppression, scale_coords
+    sys.path.remove(REF)
+
+    from multiyolov5_tpu.engine import Engine
+
+    size = 832
+    model = staged["model"].float().fuse().eval()
+    eng = Engine(staged["ckpt"], half=False)
+    with torch.no_grad():
+        for path in _images()[:3]:
+            im0 = np.ascontiguousarray(cv2.imread(path)[:, :, ::-1])
+            img = _letterbox_square(im0, size)
+            x = torch.from_numpy(
+                np.ascontiguousarray(img.transpose(2, 0, 1))).float() / 255.0
+            y = model(x[None])
+            det = non_max_suppression(y[0][0], CONF, 0.45)[0]
+            if len(det):
+                det[:, :4] = scale_coords(x.shape[1:], det[:, :4],
+                                          im0.shape).round()
+            seg = F.interpolate(y[1], (im0.shape[0], im0.shape[1]),
+                                mode="bilinear", align_corners=True)[0]
+            want_map = seg.max(axis=0)[1].numpy().astype(np.uint8)
+            a = det.numpy()
+
+            dets, masks = eng(img[None], tuple(im0.shape[:2]),
+                              conf=CONF, iou=0.45)
+            b = dets[0]
+            name = os.path.basename(path)
+            if len(a) == 300 or len(b) == 300:
+                a, b = a[:150], b[:150]
+            else:
+                assert abs(len(b) - len(a)) <= 2, \
+                    f"{name}@832: {len(b)} vs {len(a)} boxes"
+            if len(a):
+                matched = _greedy_match(a, b, iou_thr=0.75)
+                assert matched >= 0.97 * min(len(a), len(b)), \
+                    f"{name}@832: {matched}/{len(a)}"
+            mm = (masks[0] != want_map).mean()
+            assert mm < 1e-3, f"{name}@832: {mm:.4%} mask mismatch"
+
+
+def test_fp32_parity_batched_engine(staged, ref_results):
+    """bs=2 through Engine: batched serving must reproduce the per-image
+    results (the batch dimension hits different kernel block shapes)."""
+    from multiyolov5_tpu.engine import Engine
+
+    by_shape = {}
+    for name, want in ref_results.items():
+        by_shape.setdefault(tuple(want["im0_shape"][:2]), []).append(name)
+    shape, names = max(by_shape.items(), key=lambda kv: len(kv[1]))
+    assert len(names) >= 2, "fixture images all have distinct shapes"
+    names = names[:2]
+    eng = Engine(staged["ckpt"], half=False)
+    batch = np.stack([ref_results[n]["img"] for n in names])
+    dets, masks = eng(batch, shape, conf=CONF, iou=0.45)
+    for k, n in enumerate(names):
+        a, b = ref_results[n]["det"], dets[k]
+        if len(a) == 300 or len(b) == 300:
+            a, b = a[:150], b[:150]
+        else:
+            assert abs(len(b) - len(a)) <= 2, f"{n} bs2: {len(b)} vs {len(a)}"
+        if len(a):
+            matched = _greedy_match(a, b, iou_thr=0.75)
+            assert matched >= 0.97 * min(len(a), len(b)), f"{n} bs2"
+        mm = (masks[k] != ref_results[n]["cls_map"]).mean()
+        assert mm < 1e-3, f"{n} bs2: {mm:.4%}"
+
+
+def test_pallas_gate_predicates_cover_both_geometries():
+    """The serving kernels gate on geometry (packed q by column count,
+    dilation d<=q, stride-2 pairing, stem width); assert via the kernels'
+    own eligibility predicates that the parity geometries above exercise
+    every gate, including DIFFERENT packing factors at 1024 vs 832."""
+    from multiyolov5_tpu.models.config import load_spec
+    from multiyolov5_tpu.ops.pallas.c3_kernel import packed_q_for
+    from multiyolov5_tpu.ops.stem import can_fold_stem
+
+    spec = load_spec("yolov5s_city_seg")
+    assert can_fold_stem(spec)              # u8 stem kernel gate
+    for size in (1024, 832):
+        # layer-2 C3 (32ch @ 1/4 res) rides the column-packed form at both
+        # geometries
+        assert packed_q_for(32, size // 4) > 1, size
+        # stride-2 pairing gate: even H/W at every downsample level
+        for s in (4, 8, 16):
+            assert (size // s) % 2 == 0, (size, s)
+        # seg-head dilated 3x3s (RFB2 d=2,3 @ 128ch) exceed the packed
+        # kernel's 64-channel bound -> the plain dilated kernel runs
+        assert packed_q_for(128, size // 8, d=2) == 0
+    # 1024 and 832 compile different packed shapes (q=4 vs q=2): both
+    # kernel variants are exercised by the parity sweep
+    assert packed_q_for(32, 1024 // 4) == 4
+    assert packed_q_for(32, 832 // 4) == 2
+    # P3 64ch convs: packed @1024, but 104 columns don't pack (52 % 8 != 0)
+    # -> the plain im2col kernel runs @832: both forms covered
+    assert packed_q_for(64, 1024 // 8) == 2
+    assert packed_q_for(64, 832 // 8) == 0
+    # dilation fits the packed halo only for d <= q
+    assert packed_q_for(32, 1024 // 4, d=3) > 0
+    assert packed_q_for(64, 1024 // 8, d=3) == 0
 
 
 def test_bf16_drift_report(staged, ref_results):

@@ -32,6 +32,83 @@ def tiny_det_dataset(tmp_path_factory):
     return yml
 
 
+@pytest.fixture(scope="module")
+def tiny_joint_dataset(tmp_path_factory):
+    """Detection + custom-kind segmentation fixture (segimages/seglabels
+    layout, trainId masks) for the collapsed train-variant smokes."""
+    root = tmp_path_factory.mktemp("tinyjoint")
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+                        "RGB").save(root / "images" / f"im{i}.png")
+        (root / "labels" / f"im{i}.txt").write_text(
+            "0 0.5 0.5 0.4 0.4\n1 0.3 0.3 0.2 0.2\n")
+    seg = root / "seg"
+    for split in ("train", "val"):
+        (seg / "segimages" / split).mkdir(parents=True)
+        (seg / "seglabels" / split).mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
+                            "RGB").save(seg / "segimages" / split / f"s{i}.png")
+            m = rng.integers(0, 19, (64, 64)).astype(np.uint8)
+            m[:4, :4] = 255  # ignore region (-1 after load)
+            Image.fromarray(m, "L").save(seg / "seglabels" / split / f"s{i}.png")
+    yml = root / "data.yaml"
+    yml.write_text(yaml.safe_dump({
+        "train": str(root / "images"), "val": str(root / "images"),
+        "segtrain": str(seg), "segval": str(seg),
+        "nc": 2, "names": ["a", "b"]}))
+    return yml
+
+
+def _run_variant(data_yaml, tmp_path, *extra):
+    from multiyolov5_tpu.cli.train import main
+    save_dir, best = main([
+        "--data", str(data_yaml),
+        "--epochs", "1", "--batch-size", "2",
+        "--img-size", "64", "64", "--img-size-test", "64",
+        "--base-size", "64", "--seg-data-kind", "custom",
+        "--seg-eval-interval", "1",
+        "--workers", "2", "--project", str(tmp_path / "runs"),
+        "--no-tb", "--noautoanchor", *extra])
+    run = Path(save_dir)
+    assert (run / "weights" / "last.npz").exists()
+    line = (run / "results.txt").read_text().strip().splitlines()[0]
+    assert np.isfinite([float(v) for v in line.split()]).all()
+    return run
+
+
+def test_train_cli_seg_ohem(tiny_joint_dataset, tmp_path):
+    """--seg-loss ohem: the reference train_citysbdd.py OhemCELoss wiring
+    through the jitted dual-task step."""
+    _run_variant(tiny_joint_dataset, tmp_path,
+                 "--cfg", "yolov5s_city_seg", "--seg-loss", "ohem")
+
+
+def test_train_cli_bise_aux(tiny_joint_dataset, tmp_path):
+    """BiSe config: --seg-aux is implied by the head (3 training outputs,
+    reference models/yolo.py:30-86) and must flow through the jitted step."""
+    _run_variant(tiny_joint_dataset, tmp_path,
+                 "--cfg", "yolov5s_city_seg_bise")
+
+
+def test_train_cli_quad(tiny_joint_dataset, tmp_path):
+    """--quad: collate_fn4 batching + the 4x loss gain
+    (reference train.py:368)."""
+    _run_variant(tiny_joint_dataset, tmp_path,
+                 "--cfg", "yolov5s_city_seg", "--quad")
+
+
+def test_train_cli_pspv5m(tiny_joint_dataset, tmp_path):
+    """pspv5m config smoke: the m widths/depths hit different kernel
+    eligibility gates in the train step."""
+    _run_variant(tiny_joint_dataset, tmp_path,
+                 "--cfg", "yolov5m_city_seg")
+
+
 def test_train_cli_one_epoch(tiny_det_dataset, tmp_path):
     from multiyolov5_tpu.cli.train import main
     save_dir, best = main([
