@@ -127,11 +127,19 @@ def train(opt):
     # loaders are built.  Reference analog: DDP world-size handling
     # train.py:585-621 (total_batch_size // world_size must divide).
     n_dev = len(jax.devices())
+    # dp x sp: --model-parallel N shards the image H axis over a 'model'
+    # mesh axis in addition to batch data-parallelism (parallel/spatial.py
+    # rationale; train-step equivalence proven in tests/test_spatial.py)
+    n_mp = max(1, opt.model_parallel)
+    if n_dev % n_mp:
+        raise SystemExit(f"--model-parallel {n_mp} does not divide the "
+                         f"{n_dev} visible devices")
+    n_data = n_dev // n_mp
     if n_dev > 1:
         from ..parallel.mesh import round_batch_for_devices
         seg_bs0 = opt.seg_batch_size or bs
-        new_bs = round_batch_for_devices(bs, n_dev)
-        new_seg = round_batch_for_devices(seg_bs0, n_dev)
+        new_bs = round_batch_for_devices(bs, n_data)
+        new_seg = round_batch_for_devices(seg_bs0, n_data)
         if (new_bs, new_seg) != (bs, seg_bs0):
             print(f"NOTE: rounding batch sizes up for {n_dev}-device data "
                   f"parallelism: det {bs}->{new_bs}, seg {seg_bs0}->{new_seg}")
@@ -253,9 +261,10 @@ def train(opt):
     mesh = None
     if n_dev > 1:
         from ..parallel.mesh import make_mesh, replicate
-        mesh = make_mesh(n_dev)
+        mesh = make_mesh(n_data, n_mp)
         ts = replicate(mesh, ts)
-        print(f"data-parallel over {n_dev} devices")
+        print(f"data-parallel over {n_data} devices"
+              + (f" x spatial over {n_mp}" if n_mp > 1 else ""))
     step = make_train_step(spec, cfg, groups, mesh=mesh)
 
     nbs = 64
@@ -309,7 +318,7 @@ def train(opt):
         seg_iter = iter(seg_loader) if seg_enabled else None
         # dummy seg batch (detection-only training): batch dim must shard
         # over the mesh, so size it divisible by n_dev
-        db = (2 * n_dev if mesh is not None else 2) // n_proc
+        db = (2 * n_data if mesh is not None else 2) // n_proc
         dummy_seg = (np.zeros((db, 64, 64, 3), np.float32),
                      np.full((db, 64, 64), -1, np.int64))
         for i, (imgs, tgts, tmask, paths, _) in enumerate(train_loader):
@@ -362,9 +371,9 @@ def train(opt):
             if n_proc > 1:
                 # assemble global batch from per-host slices; scalars are
                 # identical on every host (same seed/schedule) -> replicated
-                from ..parallel.mesh import replicate, shard_batch
-                bat = shard_batch(mesh, (imgs, tgts, tmask,
-                                         seg_imgs, seg_masks))
+                from ..parallel.mesh import replicate, shard_train_batch
+                bat = shard_train_batch(mesh, (imgs, tgts, tmask,
+                                               seg_imgs, seg_masks))
                 scal = replicate(mesh, (sub, jnp.float32(lr),
                                         jnp.float32(lr_bias),
                                         jnp.float32(mom),
@@ -576,6 +585,9 @@ def build_parser():
                    help="quad dataloader: fold 4 images into one 2x-res "
                         "batch item (reference collate_fn4, loss x4)")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="shard the image H axis over this many devices "
+                        "(dp x sp; devices = data_parallel * model_parallel)")
     # multi-host (reference --local_rank/env:// DDP, train.py:585-621):
     # launch one process per host with the same coordinator address
     p.add_argument("--coordinator", default=None,

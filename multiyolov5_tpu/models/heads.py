@@ -50,8 +50,14 @@ def initialize_detect_biases(params, name: str, nc: int, na: int,
     return out
 
 
-def detect_raw(ctx: Ctx, name: str, xs: List[jnp.ndarray], nc: int, na: int):
-    """Per-level 1x1 conv + reshape to (B, na, ny, nx, no) (training output)."""
+def detect_raw(ctx: Ctx, name: str, xs: List[jnp.ndarray], nc: int, na: int,
+               hwna: bool = False):
+    """Per-level 1x1 conv + reshape to (B, na, ny, nx, no) (training output).
+
+    ``hwna=True`` skips the (0,3,1,2,4) transpose and returns the conv's
+    native (B, ny, nx, na, no) order — the train step's DetectionLoss
+    consumes it directly (losses.py ``hwna``), saving the transpose and
+    its ~0.6 ms/step cotangent at bs8/832px."""
     no = nc + 5
     outs = []
     for i, x in enumerate(xs):
@@ -60,8 +66,8 @@ def detect_raw(ctx: Ctx, name: str, xs: List[jnp.ndarray], nc: int, na: int):
         # torch layout: channels = na*no with (anchor, output) nesting; NHWC
         # conv output preserves channel order so the reshape below matches
         # reference models/yolo.py:214 view+permute.
-        y = y.reshape(b, ny, nx, na, no).transpose(0, 3, 1, 2, 4)
-        outs.append(y)
+        y = y.reshape(b, ny, nx, na, no)
+        outs.append(y if hwna else y.transpose(0, 3, 1, 2, 4))
     return outs
 
 

@@ -218,7 +218,7 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
             compute_dtype=None, pre_s2d: bool = False, seg_up: bool = True,
             start_layer: int = 0, pre_s2d2: bool = False,
-            sever: Optional[bool] = None):
+            sever: Optional[bool] = None, det_hwna: bool = False):
     """Run the network.
 
     Args:
@@ -227,7 +227,9 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         callers must ensure no skipped row is in the save list).
     Returns:
       ``(det, seg, new_state)`` where
-        * train: ``det`` = list of raw per-level maps (B,na,ny,nx,no),
+        * train: ``det`` = list of raw per-level maps (B,na,ny,nx,no)
+          ((B,ny,nx,na,no) with ``det_hwna=True`` — the train step's
+          transpose-free layout, losses.DetectionLoss(hwna=True)),
           ``seg`` = logits (or [main, aux16, aux32] for BiSe).
         * eval:  ``det`` = (decoded (B,N,no), raw list), ``seg`` = logits.
       Seg logits are NHWC at 8x input resolution, except with
@@ -315,7 +317,8 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         if row.module == "Detect":
             xs = [concrete(cache[j] if j != -1 else y) for j in row.f]
             det_xs = xs
-            det_raw = H.detect_raw(ctx, f"model.{row.i}", xs, spec.nc, spec.na)
+            det_raw = H.detect_raw(ctx, f"model.{row.i}", xs, spec.nc,
+                                   spec.na, hwna=det_hwna)
             y = det_raw
         else:
             if isinstance(row.f, int):

@@ -77,10 +77,16 @@ class DetectionLoss:
         self.ssi = strides.index(16) if (self.autobalance and 16 in strides) else 0
 
     def __call__(self, preds: List[jnp.ndarray], targets: jnp.ndarray,
-                 tmask: jnp.ndarray, balance: Optional[jnp.ndarray] = None):
+                 tmask: jnp.ndarray, balance: Optional[jnp.ndarray] = None,
+                 hwna: bool = False):
         """
         Args:
-          preds: per-level raw maps (B, na, ny, nx, 5+nc).
+          preds: per-level raw maps (B, na, ny, nx, 5+nc) — or, with
+            ``hwna=True``, (B, ny, nx, na, 5+nc), the head conv's native
+            NHWC order.  The train step feeds the latter: the (0,3,1,2,4)
+            transpose detect_raw would apply is pure layout, and its
+            cotangent transpose alone cost ~0.6 ms/step at bs8/832px
+            (traced round 4).  Same values either way.
           targets: (B, T, 5) [cls, x, y, w, h] normalized 0..1 (padded).
           tmask: (B, T) bool validity.
           balance: optional (nl,) per-level obj weights carried as training
@@ -105,7 +111,8 @@ class DetectionLoss:
 
         for i, pi in enumerate(preds):
             anchors_i = jnp.asarray(self.anchors[i], jnp.float32)  # (na, 2)
-            ny, nx = pi.shape[2], pi.shape[3]
+            ny, nx = ((pi.shape[1], pi.shape[2]) if hwna
+                      else (pi.shape[2], pi.shape[3]))
             gain = jnp.asarray([nx, ny, nx, ny], jnp.float32)
             txywh = t_flat[:, 1:5] * gain                      # grid units
             gxy, gwh = txywh[:, :2], txywh[:, 2:]
@@ -153,21 +160,31 @@ class DetectionLoss:
             # huge grids or target caps blowing it up and fall back to the
             # indexed gather (which also avoids 0*inf -> NaN should preds
             # overflow in bf16 — the one-hot zero no longer annihilates).
-            onehot_elems = B * na * (T * 5) * pi.shape[3] * pi.shape[-1]
+            onehot_elems = B * na * (T * 5) * nx * pi.shape[-1]
             if (os.environ.get("MULTIYOLOV5_DET_GATHER") == "scatter"
                     or onehot_elems > (1 << 28)):
-                ps = pi[b_idx, a_idx, gj_b, gi_b]              # (N, na, 5, no)
+                if hwna:
+                    ps = pi[b_idx, gj_b, gi_b, a_idx]          # (N, na, 5, no)
+                else:
+                    ps = pi[b_idx, a_idx, gj_b, gi_b]          # (N, na, 5, no)
             else:
                 no = pi.shape[-1]
                 gj5 = gj.reshape(B, T * 5)
                 gi5 = gi.reshape(B, T * 5)
                 r1h = jax.nn.one_hot(gj5, ny, dtype=pi.dtype)  # (B, T5, ny)
                 c1h = jax.nn.one_hot(gi5, nx, dtype=pi.dtype)  # (B, T5, nx)
-                tmp = jnp.einsum("bty,bayxc->batxc", r1h, pi,
-                                 preferred_element_type=pi.dtype)
-                ps = jnp.einsum("btx,batxc->batc", c1h, tmp,
-                                preferred_element_type=pi.dtype)
-                ps = ps.reshape(B, na, T, 5, no).transpose(0, 2, 1, 3, 4)
+                if hwna:
+                    tmp = jnp.einsum("bty,byxac->btxac", r1h, pi,
+                                     preferred_element_type=pi.dtype)
+                    ps = jnp.einsum("btx,btxac->btac", c1h, tmp,
+                                    preferred_element_type=pi.dtype)
+                    ps = ps.reshape(B, T, 5, na, no).transpose(0, 1, 3, 2, 4)
+                else:
+                    tmp = jnp.einsum("bty,bayxc->batxc", r1h, pi,
+                                     preferred_element_type=pi.dtype)
+                    ps = jnp.einsum("btx,batxc->batc", c1h, tmp,
+                                    preferred_element_type=pi.dtype)
+                    ps = ps.reshape(B, na, T, 5, no).transpose(0, 2, 1, 3, 4)
                 ps = ps.reshape(N, na, 5, no)
             # target box relative to chosen cell
             tx = gxy[:, None, :2]                              # (N, 1, 2)
@@ -190,7 +207,10 @@ class DetectionLoss:
             iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
             iou_d = jnp.where(pos, (1.0 - self.gr) + self.gr * iou_d, 0.0)
             tobj = jnp.zeros(pi.shape[:4], jnp.float32)
-            tobj = tobj.at[b_idx, a_idx, gj_b, gi_b].max(iou_d)
+            if hwna:
+                tobj = tobj.at[b_idx, gj_b, gi_b, a_idx].max(iou_d)
+            else:
+                tobj = tobj.at[b_idx, a_idx, gj_b, gi_b].max(iou_d)
             obj_loss = _bce_logits(pi[..., 4].astype(jnp.float32), tobj,
                                    hyp.get("obj_pw", 1.0))
             if fl_g > 0:

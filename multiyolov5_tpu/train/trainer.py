@@ -101,11 +101,11 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
     fwd = forward
     if cfg.remat:
         def fwd(spec_, params, state, x, train=False, rng=None, decode=False,
-                fused=False, pre_s2d2=False, seg_up=True):
+                fused=False, pre_s2d2=False, seg_up=True, det_hwna=False):
             def inner(p, s, xx, r):
                 return forward(spec_, p, s, xx, train=train, rng=r,
                                decode=decode, fused=fused, pre_s2d2=pre_s2d2,
-                               seg_up=seg_up)
+                               seg_up=seg_up, det_hwna=det_hwna)
             return jax.checkpoint(inner)(params, state, x, rng)
 
     # Fused upsample+CE (ops/pallas/seg_ce_kernel.py): on TPU, single-output
@@ -117,7 +117,12 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
     # MULTIYOLOV5_XLA_SEGCE=1 opts back into the XLA lowering.
     seg_module = (spec.rows[spec.seg_index].module
                   if spec.seg_index is not None else None)
-    fused_ce = (cfg.seg_loss == "ce" and not cfg.seg_aux
+    # dp x sp training (mesh with a non-trivial 'model' axis) keeps the
+    # pure-XLA lowering everywhere: GSPMD cannot partition the Pallas
+    # seg-CE custom call over the spatially-sharded logits
+    spatial = (mesh is not None and "model" in mesh.axis_names
+               and mesh.shape["model"] > 1)
+    fused_ce = (cfg.seg_loss == "ce" and not cfg.seg_aux and not spatial
                 and seg_module in ("SegMaskPSP", "SegMaskBase", "SegMaskLab")
                 and jax.default_backend() == "tpu"
                 and not os.environ.get("MULTIYOLOV5_XLA_SEGCE"))
@@ -140,8 +145,8 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         x = det_imgs.astype(cfg.compute_dtype) / 255.0
         det_raw, _, new_state = fwd(spec, params, state, x, train=True,
                                     rng=rng, decode=False,
-                                    pre_s2d2=cfg.pack_stem)
-        dloss, ditems = det_loss_fn(det_raw, det_tgts, det_mask)
+                                    pre_s2d2=cfg.pack_stem, det_hwna=True)
+        dloss, ditems = det_loss_fn(det_raw, det_tgts, det_mask, hwna=True)
         dloss = dloss * cfg.detgain * (4.0 if cfg.quad else 1.0)
         if not cfg.seg_enabled or spec.seg_index is None:
             return dloss, ({**state, **new_state}, ditems, jnp.float32(0))
@@ -207,12 +212,6 @@ def make_train_step(spec: ModelSpec, cfg: TrainConfig, groups: Dict[str, int],
         # are serving-only), so no custom-call partitioning is needed —
         # but the fused seg-CE kernel must be off (cli sets
         # MULTIYOLOV5_XLA_SEGCE or seg_loss!='ce'); assert it.
-        spatial = "model" in mesh.axis_names and mesh.shape["model"] > 1
-        if spatial and fused_ce:
-            raise ValueError(
-                "dp x sp training requires the pure-XLA seg loss: set "
-                "MULTIYOLOV5_XLA_SEGCE=1 (the Pallas seg-CE custom call "
-                "cannot be spatially partitioned by GSPMD)")
         img = NamedSharding(mesh, P("data", "model")) if spatial else data
         step = jax.jit(
             step,

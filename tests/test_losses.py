@@ -157,6 +157,29 @@ def test_detection_loss_scatter_gather_path_matches(rng, monkeypatch):
                                rtol=1e-5)
 
 
+def test_detection_loss_hwna_layout_matches(rng, monkeypatch):
+    """The transpose-free (B,ny,nx,na,no) layout the train step feeds
+    (losses hwna=True) computes identical values to the canonical
+    (B,na,ny,nx,no) layout — on both gather routes."""
+    preds, tgt = _rand_case(rng)
+    dl = DetectionLoss(nc=10, na=3,
+                       anchors=ANCHORS.reshape(3, 3, 2) / np.array(STRIDES)[:, None, None],
+                       strides=STRIDES, hyp=HYP)
+    per_img = [tgt[tgt[:, 0] == i][:, 1:] for i in range(2)]
+    padded, mask = pad_targets(per_img, max_t=16)
+    jp = [jnp.asarray(p) for p in preds]
+    jp_hwna = [jnp.transpose(p, (0, 2, 3, 1, 4)) for p in jp]
+    for env in (None, "scatter"):
+        if env:
+            monkeypatch.setenv("MULTIYOLOV5_DET_GATHER", env)
+        loss_a, items_a = dl(jp, jnp.asarray(padded), jnp.asarray(mask))
+        loss_b, items_b = dl(jp_hwna, jnp.asarray(padded), jnp.asarray(mask),
+                             hwna=True)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(items_a), np.asarray(items_b),
+                                   rtol=1e-6)
+
+
 def test_detection_loss_empty_targets(rng, ref_compute_loss):
     preds, _ = _rand_case(rng)
     tgt = np.zeros((0, 6), np.float32)

@@ -102,6 +102,14 @@ def test_train_cli_quad(tiny_joint_dataset, tmp_path):
                  "--cfg", "yolov5s_city_seg", "--quad")
 
 
+def test_train_cli_model_parallel(tiny_joint_dataset, tmp_path):
+    """--model-parallel 2 on the 8-virtual-device mesh: dp4 x sp2 training
+    end-to-end through the CLI (loss finite, checkpoint written)."""
+    _run_variant(tiny_joint_dataset, tmp_path,
+                 "--cfg", "yolov5s_city_seg", "--model-parallel", "2",
+                 "--batch-size", "4")
+
+
 def test_train_cli_pspv5m(tiny_joint_dataset, tmp_path):
     """pspv5m config smoke: the m widths/depths hit different kernel
     eligibility gates in the train step."""
