@@ -65,7 +65,8 @@ def bench_train(out_path="TRAIN_BENCH.json"):
     spec = load_spec("yolov5s_city_seg")
     pack = can_fold_stem(spec) and not os.environ.get("BENCH_NO_PACK_STEM")
     cfg = TrainConfig(hyp=hyp, batch_size=B, seg_batch_size=B,
-                      max_targets=128, pack_stem=pack)
+                      max_targets=128, pack_stem=pack,
+                      remat=bool(os.environ.get("BENCH_TRAIN_REMAT")))
     ts, groups = create_train_state(spec, cfg, seed=0)
     step = make_train_step(spec, cfg, groups, donate=False)
 

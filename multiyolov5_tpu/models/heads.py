@@ -56,8 +56,9 @@ def detect_raw(ctx: Ctx, name: str, xs: List[jnp.ndarray], nc: int, na: int,
 
     ``hwna=True`` skips the (0,3,1,2,4) transpose and returns the conv's
     native (B, ny, nx, na, no) order — the train step's DetectionLoss
-    consumes it directly (losses.py ``hwna``), saving the transpose and
-    its ~0.6 ms/step cotangent at bs8/832px."""
+    consumes it directly (losses.py ``hwna``), removing the transpose and
+    its cotangent from the graph (device-lane savings; e2e step time is
+    scheduler-overlapped)."""
     no = nc + 5
     outs = []
     for i, x in enumerate(xs):

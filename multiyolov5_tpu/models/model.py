@@ -300,7 +300,8 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
         # 1/8 res) — batch-independent, so gated on fused/eval/sever_heads
         # only, not on the batch-1 ``sever`` flag (blocks._c3_packed_fast)
         ctx.c3_packed = (fused and not train and ctx.sever_heads
-                         and row.i < neck_start)
+                         and row.i < neck_start
+                         and not os.environ.get("MULTIYOLOV5_NO_C3PACKED"))
         # at serving batch sizes, chain the backbone downsample convs
         # through the Pallas s2 kernel so the packed-C3 custom call's
         # output feeds another custom call (default layout) instead of an

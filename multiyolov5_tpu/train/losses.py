@@ -84,9 +84,10 @@ class DetectionLoss:
           preds: per-level raw maps (B, na, ny, nx, 5+nc) — or, with
             ``hwna=True``, (B, ny, nx, na, 5+nc), the head conv's native
             NHWC order.  The train step feeds the latter: the (0,3,1,2,4)
-            transpose detect_raw would apply is pure layout, and its
-            cotangent transpose alone cost ~0.6 ms/step at bs8/832px
-            (traced round 4).  Same values either way.
+            transpose detect_raw would apply is pure layout (its cotangent
+            traced at ~0.6 ms/step device-lane time at bs8/832px; e2e step
+            time is scheduler-overlapped, so this mainly frees lanes).
+            Same values either way.
           targets: (B, T, 5) [cls, x, y, w, h] normalized 0..1 (padded).
           tmask: (B, T) bool validity.
           balance: optional (nl,) per-level obj weights carried as training
