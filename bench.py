@@ -134,7 +134,7 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
     from multiyolov5_tpu.engine import Engine, space_to_depth_host
     from multiyolov5_tpu.models.model import forward
     from multiyolov5_tpu.ops import stem as stem_lib
-    from multiyolov5_tpu.ops.nms import nms_batched
+    from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
     from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import (
         upsample_argmax_planar)
     from multiyolov5_tpu.ops.resize import resize_bilinear
@@ -169,6 +169,11 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
     else:
         x0 = jnp.asarray(space_to_depth_host(frame).astype(np.float32))
 
+    # planar NMS frontend (same gate as Engine._compiled)
+    planar = (jax.default_backend() == "tpu"
+              and os.environ.get("MULTIYOLOV5_NMS_PLANAR") != "0")
+    dec_mode = "planar" if planar else True
+
     def body(x, fw):
         if fold:
             if use_pallas_stem:  # same gate as Engine's fused pipeline
@@ -176,15 +181,19 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
             else:
                 y1 = stem_lib.stem_apply(x.astype(jnp.bfloat16) / 255.0, *fw)
             det, seg, _ = forward(spec, params, state, y1, train=False,
-                                  fused=True, decode=True, start_layer=2,
+                                  fused=True, decode=dec_mode, start_layer=2,
                                   seg_up=seg_up)
         else:
             xn = x.astype(jnp.bfloat16) / 255.0
             det, seg, _ = forward(spec, params, state, xn,
-                                  train=False, fused=True, decode=True,
+                                  train=False, fused=True, decode=dec_mode,
                                   pre_s2d=True, seg_up=seg_up)
-        boxes, valid = nms_batched(det[0], conf_thres=0.25, iou_thres=0.45,
-                                   max_nms=1024)
+        if planar:
+            boxes, valid = nms_planar(det[0], conf_thres=0.25,
+                                      iou_thres=0.45, max_nms=1024)
+        else:
+            boxes, valid = nms_batched(det[0], conf_thres=0.25,
+                                       iou_thres=0.45, max_nms=1024)
         out = boxes.sum() + valid.sum()
         if seg is not None:
             if seg_up:

@@ -24,7 +24,7 @@ import numpy as np
 from .models.config import ModelSpec, load_spec
 from .models.model import forward, init_model
 from .ops import stem as stem_lib
-from .ops.nms import nms_batched, nms_from_raw
+from .ops.nms import nms_batched, nms_from_raw, nms_planar
 from .ops.pallas.upsample_argmax_kernel import upsample_argmax_planar
 from .ops.resize import resize_bilinear
 from .ops.nn import fuse_conv_bn
@@ -209,6 +209,16 @@ class Engine:
         # device-true) — TPU gathers are slow, dense elementwise is nearly
         # free.  Serving keeps the decoded path.
         from_raw = False
+        # planar NMS frontend: candidates stay (no, na, B, H*W) lane-major
+        # through conf/threshold/top-k (ops/nms.nms_planar) — the (B, N, 15)
+        # T(1,128) tensor and its pad/copy chain never materialize.
+        # Single-label serving only; MULTIYOLOV5_NMS_PLANAR=0 opts out.
+        _pl_env = _os.environ.get("MULTIYOLOV5_NMS_PLANAR")
+        planar_nms = (not augment and not from_raw and not multi_label
+                      and (_pl_env == "1"        # force-on (CPU parity tests)
+                           or (_pl_env != "0"
+                               and jax.default_backend() == "tpu")))
+        dec_mode = "planar" if planar_nms else True
 
         def run(p, img_u8):
             z = None
@@ -223,7 +233,7 @@ class Engine:
                 y1 = stem_apply_pallas_u8(img_u8, *stem_fw,
                                           cols=in_hw[1] // 4, out_dtype=cdt)
                 det, seg, _ = forward(spec, p, state, y1, train=False,
-                                      fused=True, decode=not from_raw,
+                                      fused=True, decode=dec_mode,
                                       start_layer=2, seg_up=not fuse_mask)
                 x = None
             elif fold:
@@ -232,12 +242,12 @@ class Engine:
                 x = img_u8.astype(cdt) / 255.0
                 y1 = stem_lib.stem_apply(x, *stem_fw)
                 det, seg, _ = forward(spec, p, state, y1, train=False,
-                                      fused=True, decode=not from_raw,
+                                      fused=True, decode=dec_mode,
                                       start_layer=2, seg_up=not fuse_mask)
             elif use_s2d:
                 x = img_u8.astype(cdt) / 255.0
                 det, seg, _ = forward(spec, p, state, x, train=False,
-                                      fused=True, decode=not from_raw,
+                                      fused=True, decode=dec_mode,
                                       pre_s2d=True, seg_up=not fuse_mask)
             elif augment:  # TTA (reference models/yolo.py:273-291)
                 x = img_u8.astype(cdt) / 255.0
@@ -258,7 +268,7 @@ class Engine:
             else:
                 x = img_u8.astype(cdt) / 255.0
                 det, seg, _ = forward(spec, p, state, x, train=False,
-                                      fused=True, decode=not from_raw,
+                                      fused=True, decode=dec_mode,
                                       seg_up=not fuse_mask)
             # serving candidate cap 1024: at detect conf=0.25 real scenes
             # yield far fewer candidates, and <=1024 rides the on-core
@@ -270,6 +280,11 @@ class Engine:
                     det, anchors, tuple(int(s) for s in spec.strides),
                     conf_thres=conf, iou_thres=iou, agnostic=agnostic,
                     class_mask=cmask, max_nms=1024, max_det=max_det)
+            elif planar_nms:
+                boxes, valid = nms_planar(det[0], conf_thres=conf,
+                                          iou_thres=iou, agnostic=agnostic,
+                                          class_mask=cmask,
+                                          max_nms=1024, max_det=max_det)
             else:
                 z = det[0] if not augment else z
                 boxes, valid = nms_batched(z, conf_thres=conf, iou_thres=iou,

@@ -73,7 +73,8 @@ def detect_raw(ctx: Ctx, name: str, xs: List[jnp.ndarray], nc: int, na: int,
 
 
 def detect_decode_planar(ctx: Ctx, name: str, xs: List[jnp.ndarray],
-                         strides: Sequence[int], nc: int, na: int):
+                         strides: Sequence[int], nc: int, na: int,
+                         planar_out: bool = False):
     """Inference decode straight from the head's input feature maps.
 
     Same math as ``detect_decode`` (reference models/yolo.py:216-225), but
@@ -92,25 +93,48 @@ def detect_decode_planar(ctx: Ctx, name: str, xs: List[jnp.ndarray],
     zs = []
     for i, x in enumerate(xs):
         b, ny, nx, cc = x.shape
-        wl = ctx.p[f"{name}.m.{i}.weight"].reshape(cc, na * no)
-        bl = ctx.p[f"{name}.m.{i}.bias"]
+        wl = ctx.p[f"{name}.m.{i}.weight"].reshape(cc, na, no)
+        bl = ctx.p[f"{name}.m.{i}.bias"].reshape(na, no)
+        if planar_out:
+            # (output, anchor) row nesting instead of (anchor, output): the
+            # per-image flat candidate view z[:, :, b, :].reshape(no, -1)
+            # then matches the (B, N, no) path's (anchor, pixel) candidate
+            # order with NO transpose — ops/nms.nms_planar consumes these
+            # rows directly and the (B, N, 15) T(1,128) materialization
+            # (pad/reshape/copy chain, ~20us/frame in the round-4 trace)
+            # never exists.  Weight reordering is trace-time only.
+            wl = wl.transpose(0, 2, 1)
+            bl = bl.T
+        wl = wl.reshape(cc, na * no)
+        bl = bl.reshape(na * no)
         y2d = x.reshape(b * ny * nx, cc)
         lg = jax.lax.dot_general(wl.astype(x.dtype), y2d,
                                  (((0,), (1,)), ((), ())),
                                  preferred_element_type=x.dtype)
         lg = lg + bl.astype(lg.dtype)[:, None]              # (na*no, B*H*W)
         y = jax.nn.sigmoid(lg.astype(jnp.float32))
-        y = y.reshape(na, no, b, ny * nx)
         gx = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 1).reshape(-1)
         gy = jax.lax.broadcasted_iota(jnp.float32, (ny, nx), 0).reshape(-1)
         s = float(strides[i])
         anc = anchors[i] * s                                # (na, 2)
+        if planar_out:
+            y = y.reshape(no, na, b, ny * nx)
+            px = (y[0] * 2.0 - 0.5 + gx) * s                # (na, B, H*W)
+            py = (y[1] * 2.0 - 0.5 + gy) * s
+            pw = jnp.square(y[2] * 2.0) * anc[:, 0, None, None]
+            ph = jnp.square(y[3] * 2.0) * anc[:, 1, None, None]
+            z = jnp.concatenate([jnp.stack([px, py, pw, ph], 0), y[4:]], 0)
+            zs.append(z)                                    # (no, na, B, H*W)
+            continue
+        y = y.reshape(na, no, b, ny * nx)
         px = (y[:, 0] * 2.0 - 0.5 + gx) * s                 # (na, B, H*W)
         py = (y[:, 1] * 2.0 - 0.5 + gy) * s
         pw = jnp.square(y[:, 2] * 2.0) * anc[:, 0:1, None]
         ph = jnp.square(y[:, 3] * 2.0) * anc[:, 1:2, None]
         z = jnp.concatenate([jnp.stack([px, py, pw, ph], 1), y[:, 4:]], 1)
         zs.append(z.transpose(2, 0, 3, 1).reshape(b, na * ny * nx, no))
+    if planar_out:
+        return zs
     return jnp.concatenate(zs, 1)
 
 

@@ -335,10 +335,14 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     if decode and det_raw is not None:
         # planar decode: when the caller drops det_raw (the serving engine
         # uses only the decoded tensor), detect_raw's layout-poisoning
-        # reshape+transpose is dead code and the neck keeps clean layouts
+        # reshape+transpose is dead code and the neck keeps clean layouts.
+        # decode="planar" keeps even the candidate list planar (a list of
+        # per-scale (no, na, B, H*W) tensors for ops/nms.nms_planar) — the
+        # (B, N, no) tensor and its T(1,128) relayout chain never exist.
         decoded = H.detect_decode_planar(ctx, f"model.{spec.detect_index}",
                                          det_xs, spec.strides, spec.nc,
-                                         spec.na)
+                                         spec.na,
+                                         planar_out=(decode == "planar"))
         det = (decoded, det_raw)
     return det, seg_out, ctx.new_state
 

@@ -176,7 +176,6 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
     def per_image(p):
         obj = p[:, 4]
         cls_conf = p[:, 5:] * obj[:, None]          # (N, nc)
-        box = xywh2xyxy(p[:, :4])                    # (N, 4)
         if multi_label:
             # per-(box, class) rows: masking before the threshold is
             # equivalent to the reference's post-hoc class filter
@@ -187,7 +186,6 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
             scores, flat_idx = jax.lax.top_k(flat, k)
             bi = flat_idx // nc
             ci = (flat_idx % nc).astype(jnp.float32)
-            cand_box = box[bi]
         else:
             # reference utils/general.py:467-473: argmax over ALL classes
             # first, THEN drop boxes whose best class isn't allowed — masking
@@ -202,7 +200,11 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
             k = min(max_nms, n)
             scores, bi = jax.lax.top_k(conf, k)
             ci = ci_all[bi].astype(jnp.float32)
-            cand_box = box[bi]
+        # xywh -> xyxy only on the gathered top-k rows: transforming all N
+        # candidates first materializes an (N, 4) copy (~8us/frame at
+        # Cityscapes serving N=32k, copy.372 in the round-4 trace) that the
+        # top-k immediately discards
+        cand_box = xywh2xyxy(p[:, :4][bi])
         offset = jnp.where(agnostic, 0.0, ci * MAX_WH)
         idx, valid = _nms_fixed(cand_box + offset[:, None], scores, iou_thres, max_det)
         safe = jnp.clip(idx, 0, k - 1)
@@ -216,6 +218,66 @@ def nms_batched(pred: jnp.ndarray, conf_thres: float = 0.25,
         return (jnp.stack([o[0] for o in outs], 0),
                 jnp.stack([o[1] for o in outs], 0))
     return jax.vmap(per_image)(pred)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("conf_thres", "iou_thres", "agnostic", "max_nms",
+                     "max_det"))
+def nms_planar(zs: Sequence[jnp.ndarray], conf_thres: float = 0.25,
+               iou_thres: float = 0.45, agnostic: bool = False,
+               class_mask: Optional[jnp.ndarray] = None,
+               max_nms: int = 1024, max_det: int = 300):
+    """NMS over PLANAR decoded candidates (single-label serving path).
+
+    Args:
+      zs: per-scale (no, na, B, ny*nx) tensors from
+        ``detect_decode_planar(..., planar_out=True)``.
+
+    Selection and arithmetic are identical to
+    ``nms_batched(multi_label=False)`` — same conf definition, same top-k
+    tie order (the planar flat ordering matches the (B, N, no) path's
+    (scale, anchor, pixel) candidate order), same greedy fixpoint — but the
+    full-population math (obj * max-cls, threshold) runs on lane-major
+    (no, N) rows.  The decoded (B, N, no) tensor of the batched path gets a
+    T(1,128) tiling (15 lanes of 128 used) and drags a pad/reshape/copy
+    chain behind it (~20 us/frame at Cityscapes serving N=32k, round-4
+    trace); here that tensor never exists.  Equivalence is asserted in
+    tests/test_nms.py::test_nms_planar_matches_batched.
+    """
+    no = int(zs[0].shape[0])
+    b = int(zs[0].shape[2])
+    n = sum(int(z.shape[1]) * int(z.shape[3]) for z in zs)
+    k = min(max_nms, n)
+
+    def per_image(i):
+        P = jnp.concatenate(
+            [z[:, :, i, :].reshape(no, -1) for z in zs], 1)  # (no, N)
+        P = P.astype(jnp.float32)
+        obj = P[4]
+        cls_conf = P[5:] * obj[None]                         # (nc, N)
+        conf = jnp.max(cls_conf, 0)
+        ci_all = jnp.argmax(cls_conf, 0)
+        keep = (obj > conf_thres) & (conf > conf_thres)
+        if class_mask is not None:
+            # argmax over ALL classes first, then drop disallowed winners
+            # (reference utils/general.py:467-473 semantics)
+            keep = keep & (class_mask[ci_all] > 0)
+        conf = jnp.where(keep, conf, 0.0)
+        scores, bi = jax.lax.top_k(conf, k)
+        ci = ci_all[bi].astype(jnp.float32)
+        cand_box = xywh2xyxy(jnp.take(P[:4], bi, axis=1).T)  # (k, 4)
+        offset = jnp.where(agnostic, 0.0, ci * MAX_WH)
+        idx, valid = _nms_fixed(cand_box + offset[:, None], scores,
+                                iou_thres, max_det)
+        safe = jnp.clip(idx, 0, k - 1)
+        out = jnp.concatenate(
+            [cand_box[safe], scores[safe, None], ci[safe, None]], -1)
+        return jnp.where(valid[:, None], out, 0.0), valid
+
+    outs = [per_image(i) for i in range(b)]
+    return (jnp.stack([o[0] for o in outs], 0),
+            jnp.stack([o[1] for o in outs], 0))
 
 
 @functools.partial(

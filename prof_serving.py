@@ -17,7 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from multiyolov5_tpu.engine import Engine, space_to_depth_host
 from multiyolov5_tpu.models.model import forward
 from multiyolov5_tpu.ops import stem as stem_lib
-from multiyolov5_tpu.ops.nms import nms_batched
+from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
 from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax_planar
 from multiyolov5_tpu.tools.trace_report import trace_and_report
 
@@ -36,12 +36,20 @@ x0 = jnp.asarray(pack_stem96_host(
     space_to_depth_host(space_to_depth_host(frame)), cp))
 
 
+PLANAR = os.environ.get("MULTIYOLOV5_NMS_PLANAR") != "0"
+
+
 def body(x, fw):
     y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
     det, seg, _ = forward(spec, params, state, y1, train=False, fused=True,
-                          decode=True, start_layer=2, seg_up=False)
-    boxes, valid = nms_batched(det[0], conf_thres=0.25, iou_thres=0.45,
-                               max_nms=1024)
+                          decode="planar" if PLANAR else True,
+                          start_layer=2, seg_up=False)
+    if PLANAR:
+        boxes, valid = nms_planar(det[0], conf_thres=0.25, iou_thres=0.45,
+                                  max_nms=1024)
+    else:
+        boxes, valid = nms_batched(det[0], conf_thres=0.25, iou_thres=0.45,
+                                   max_nms=1024)
     out = boxes.sum() + valid.sum()
     cm = upsample_argmax_planar(seg, orig_hw,
                                 via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))

@@ -137,3 +137,47 @@ def test_planar_decode_matches_raw_decode():
                               spec.strides, spec.nc)
     assert dec.shape == dec_raw.shape
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(dec_raw))
+
+
+def test_planar_out_decode_matches_flat():
+    """decode="planar" (per-scale (no, na, B, H*W) rows for nms_planar)
+    flattened back == decode=True's (B, N, no): same values, (scale,
+    anchor, pixel) candidate order preserved."""
+    import jax.numpy as jnp
+    from multiyolov5_tpu.models.config import load_spec
+    from multiyolov5_tpu.models.model import forward, init_model
+
+    spec = load_spec("yolov5s_city_seg")
+    params, state = init_model(spec, seed=3)
+    x = np.random.RandomState(7).rand(2, 128, 192, 3).astype(np.float32)
+    (dec, _), _, _ = forward(spec, params, state, x, train=False,
+                             decode=True)
+    (zs, _), _, _ = forward(spec, params, state, x, train=False,
+                            decode="planar")
+    no = dec.shape[-1]
+    flat = np.concatenate(
+        [np.asarray(z).transpose(2, 1, 3, 0).reshape(dec.shape[0], -1, no)
+         for z in zs], 1)
+    np.testing.assert_allclose(flat, np.asarray(dec), rtol=1e-6, atol=1e-6)
+
+
+def test_engine_planar_nms_matches_batched(eng):
+    """Engine end-to-end with the planar NMS frontend on vs off — same
+    boxes, same masks (the planar path is a layout change only)."""
+    import os
+    img = (np.random.RandomState(1).rand(1, 128, 256, 3) * 255).astype(
+        np.uint8)
+    os.environ["MULTIYOLOV5_NMS_PLANAR"] = "1"
+    try:
+        d1, m1 = eng(img, (128, 256), conf=0.001)
+    finally:
+        os.environ["MULTIYOLOV5_NMS_PLANAR"] = "0"
+    try:
+        eng._cache.clear()
+        d2, m2 = eng(img, (128, 256), conf=0.001)
+    finally:
+        del os.environ["MULTIYOLOV5_NMS_PLANAR"]
+        eng._cache.clear()
+    np.testing.assert_array_equal(m1[0], m2[0])
+    assert d1[0].shape == d2[0].shape
+    np.testing.assert_allclose(d1[0], d2[0], rtol=1e-5, atol=1e-4)

@@ -149,3 +149,34 @@ def test_fixpoint_matches_sequential_greedy(rng):
         np.testing.assert_array_equal(np.sort(k1), np.sort(k2))
         # greedy emits picks in descending-score order; so does the fixpoint
         np.testing.assert_array_equal(k1, k2)
+
+
+def test_nms_planar_matches_batched(rng):
+    """ops/nms.nms_planar over per-scale (no, na, B, H*W) planar candidates
+    == nms_batched(multi_label=False) over the flattened (B, N, no) tensor
+    (same candidate order, same top-k ties, same greedy fixpoint)."""
+    import jax.numpy as jnp
+    from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
+
+    B, na, no = 2, 3, 11
+    shapes = [(8, 16), (4, 8), (2, 4)]
+    zs, flats = [], []
+    for ny, nx in shapes:
+        conf = (rng.rand(no, na, B, ny * nx) ** 2).astype(np.float32)
+        xy = rng.rand(2, na, B, ny * nx).astype(np.float32) * 600
+        wh = rng.rand(2, na, B, ny * nx).astype(np.float32) * 120 + 4
+        z = np.concatenate([xy, wh, conf[4:]], 0)
+        zs.append(jnp.asarray(z))
+        # the (B, N, no) path's candidate order: per scale (anchor, pixel)
+        flats.append(z.transpose(2, 1, 3, 0).reshape(B, na * ny * nx, no))
+    pred = jnp.asarray(np.concatenate(flats, 1))
+
+    for cmask in (None, jnp.asarray(
+            (rng.rand(no - 5) > 0.4).astype(np.float32))):
+        d1, v1 = nms_batched(pred, conf_thres=0.25, iou_thres=0.45,
+                             class_mask=cmask, max_nms=64, max_det=20)
+        d2, v2 = nms_planar(zs, conf_thres=0.25, iou_thres=0.45,
+                            class_mask=cmask, max_nms=64, max_det=20)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-5, atol=1e-4)
