@@ -26,6 +26,7 @@ sublane-contracting matmul per channel.  Everything stays in VMEM.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -141,7 +142,8 @@ def _upsample_argmax_tpu(x: jnp.ndarray, out_hw, via_hw, align_corners):
     return jnp.stack(outs)[:, :h0, :w0]
 
 
-def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c):
+def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c,
+                   offset_key):
     """Planar input (c, hp, wp): each class plane is a native (sublane,
     lane)-tiled 2-D slab — two standard matmuls per class, no relayouts.
     This is the preferred form: feeding the NHWC kernel above from a
@@ -153,7 +155,18 @@ def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c):
     the w-block, so they are computed once per w-block (grid is (j, i)
     with the h-block i iterating fastest) into ``t_ref`` scratch and
     reused across all h-blocks — recomputing them per h-block was ~25% of
-    the kernel's MACs at Cityscapes geometry."""
+    the kernel's MACs at Cityscapes geometry.
+
+    ``offset_key``: the kernel is VPU-bound on the per-class key chain (the
+    matmuls hide under it), so the wrapper pre-clamps the 1/8-res logits at
+    -63, appends a ones-row to every plane and puts +64 in the matching
+    extra column of MH (bilinear rows sum to 1, so the offset rides the MXU
+    through both expansions for free).  The interpolated planes are then
+    strictly positive and the f32 bitcast is ALREADY monotonic — the 3-op
+    sign-fold of the general form drops out, cutting the key chain from
+    ~7 to ~4 VPU ops/class/pixel.  Key quantization coarsens from relative
+    2^-18 to absolute ~2.4e-4 on the logits; ties inside that band resolve
+    to the smaller class id (same direction as jnp.argmax)."""
     prec = (jax.lax.Precision.HIGHEST
             if x_ref.dtype == jnp.float32 else None)
     bits = max(5, int(c - 1).bit_length())
@@ -179,14 +192,19 @@ def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c):
                                 preferred_element_type=jnp.float32,
                                 precision=prec)
         pi = jax.lax.bitcast_convert_type(p, jnp.int32)
-        mono = pi ^ ((pi >> 31) & jnp.int32(0x7FFFFFFF))
-        return (mono & jnp.int32(~lim)) | jnp.int32(lim - ci)
+        if not offset_key:
+            pi = pi ^ ((pi >> 31) & jnp.int32(0x7FFFFFFF))
+        return (pi & jnp.int32(~lim)) | jnp.int32(lim - ci)
 
     best = key_of(0)
     for ci in range(1, c):
         best = jnp.maximum(best, key_of(ci))
     idx_ref[:] = (jnp.int32(lim) - (best & jnp.int32(lim))).astype(
         idx_ref.dtype)
+
+
+_OFFSET_KEY = os.environ.get("MULTIYOLOV5_MASK_OFFSET_KEY", "1") != "0"
+_KEY_OFFSET = 64.0     # 2^6: exact in bf16, and |clamped logit| < offset
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "via_hw",
@@ -200,7 +218,7 @@ def _upsample_argmax_planar_tpu(xp: jnp.ndarray, out_hw, via_hw,
                          align_corners)
     mw = _compose_matrix(w, w0, None if via_hw is None else via_hw[1],
                          align_corners)
-    hp = _pad_to(h, 8)
+    hp = _pad_to(h + 1, 8) if _OFFSET_KEY else _pad_to(h, 8)
     wp = _pad_to(w, 128)
     bh = min(256, _pad_to(h0, 256))
     bw = min(2048, _pad_to(w0, 512))
@@ -209,12 +227,26 @@ def _upsample_argmax_planar_tpu(xp: jnp.ndarray, out_hw, via_hw,
     mh_p[:h0, :h] = mh
     mwt_p = np.zeros((wp, w0p), np.float64)
     mwt_p[:w, :w0] = mw.T
+    if _OFFSET_KEY:
+        # +offset through the MXU: plane row h is all-ones (set below) and
+        # column h of MH carries the offset.  MW's rows sum to 1, so the
+        # ones-row column-expands to exactly-constant-per-column values
+        # (~1 up to the bf16 matrix rounding — identical for every class,
+        # so argmax comparisons are unaffected).
+        mh_p[:h0, h] = _KEY_OFFSET
     mh_j = jnp.asarray(mh_p, dt)
     mwt_j = jnp.asarray(mwt_p, dt)
-    if (hp, wp) != (h, w):
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    if _OFFSET_KEY:
+        # clamp so interpolated values stay above -offset (convex
+        # combinations of clamped logits): only affects classes at
+        # < -63, which never win an argmax against the others
+        xp = jnp.maximum(xp, jnp.asarray(1.0 - _KEY_OFFSET, dt))
+        xp = jnp.concatenate([xp, jnp.ones((b, c, 1, w), dt)], 2)
+    if xp.shape[2:] != (hp, wp):
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp - xp.shape[2]),
+                          (0, wp - w)))
 
-    kernel = functools.partial(_kernel_planar, c=c)
+    kernel = functools.partial(_kernel_planar, c=c, offset_key=_OFFSET_KEY)
     # grid (j, i): the h-block i iterates fastest so the per-w-block
     # column-expand scratch (t_ref) fills once at i==0 and is reused
     call = pl.pallas_call(
