@@ -237,6 +237,54 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
     }
 
 
+def bench_eval_path(cfg="yolov5s_city_seg", bs=4, iters=25, reps=3):
+    """Eval-geometry NMS diagnostic (round-4 verdict item 8).
+
+    The eval path (evaluation.py:121-122) runs multi_label=True with the
+    reference's 30000-candidate cap (utils/general.py:436) — a different
+    NMS regime from serving (the Pallas sequential kernel instead of the
+    <=4096 Jacobi fixpoint).  fitness2 model selection runs this every 10
+    epochs; this figure makes a regression in it visible in the artifact.
+    Returns {eval_fps_best, eval_ms_per_img}.
+    """
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    from multiyolov5_tpu.engine import Engine
+    from multiyolov5_tpu.models.model import forward
+    from multiyolov5_tpu.ops.nms import nms_batched
+
+    eng = Engine(None, cfg=cfg, half=True)
+    spec, params, state = eng.spec, eng.params, eng.state
+    in_hw = (512, 1024)
+    frame = (np.random.rand(bs, *in_hw, 3) * 255).astype(np.float32)
+    x0 = jnp.asarray(frame)
+
+    def body(x):
+        xn = x.astype(jnp.bfloat16) / 255.0
+        det, _, _ = forward(spec, params, state, xn, train=False, fused=True,
+                            decode=True)
+        boxes, valid = nms_batched(det[0], conf_thres=0.001, iou_thres=0.6,
+                                   multi_label=True, max_nms=30000)
+        return boxes.sum() + valid.sum()
+
+    @jax.jit
+    def rep(x):
+        return lax.fori_loop(0, iters,
+                             lambda i, acc: acc + body(x + acc * 1e-12),
+                             jnp.float32(0))
+
+    float(rep(x0))  # compile + sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(rep(x0))
+        best = min(best, (time.perf_counter() - t0 - TUNNEL_RTT_S) / iters)
+    return {"eval_fps_best": round(bs / best, 1),
+            "eval_ms_per_img": round(best / bs * 1000, 3)}
+
+
 def main():
     import jax
 
@@ -280,6 +328,13 @@ def main():
                 rm["fps_best"] * rm["gflops_per_frame"] / 1000.0 / 197.0, 3)
         except Exception as e:
             print(f"pspv5m bench failed: {e}", file=sys.stderr)
+        try:  # eval-geometry NMS diagnostic (round-4 verdict item 8)
+            re_ = bench_eval_path(cfg, bs=4, iters=max(iters // 8, 10),
+                                  reps=reps)
+            print(f"eval path {cfg} bs4: {re_}", file=sys.stderr)
+            extras.update(re_)
+        except Exception as e:
+            print(f"eval-path bench failed: {e}", file=sys.stderr)
 
     if not os.environ.get("BENCH_SKIP_TRAIN"):
         try:

@@ -43,6 +43,19 @@ from ..utils.general import (colorstr, increment_path, labels_to_class_weights,
 from ..utils.metrics import fitness2
 
 
+def multiscale_resize(imgs: np.ndarray, sf: float, gs: int) -> np.ndarray:
+    """--multi-scale batch resize (reference train.py:354-361): scale both
+    dims by ``sf`` rounded to the stride grid.  Module-level so the CLI
+    smoke can observe the geometry changes."""
+    if sf == 1.0:
+        return imgs
+    import cv2
+    h0, w0 = imgs.shape[1:3]
+    nh = max(int(round(h0 * sf / gs)) * gs, gs)
+    nw = max(int(round(w0 * sf / gs)) * gs, gs)
+    return np.stack([cv2.resize(im, (nw, nh)) for im in imgs], 0)
+
+
 def train(opt):
     import jax
     import jax.numpy as jnp
@@ -138,7 +151,10 @@ def train(opt):
     if n_dev > 1:
         from ..parallel.mesh import round_batch_for_devices
         seg_bs0 = opt.seg_batch_size or bs
-        new_bs = round_batch_for_devices(bs, n_data)
+        # --quad: collate_fn4 merges 4 loader images into one, so the
+        # *collated* det batch (bs/4) is what must divide the data axis
+        new_bs = (4 * round_batch_for_devices(-(-bs // 4), n_data)
+                  if opt.quad else round_batch_for_devices(bs, n_data))
         new_seg = round_batch_for_devices(seg_bs0, n_data)
         if (new_bs, new_seg) != (bs, seg_bs0):
             print(f"NOTE: rounding batch sizes up for {n_dev}-device data "
@@ -296,6 +312,7 @@ def train(opt):
                                      workers=opt.workers, drop_last=False)
 
     rng_key = jax.random.PRNGKey(opt.seed)
+    ms_rng = np.random.RandomState(opt.seed)  # --multi-scale bucket draws
     print(f"Image sizes {imgsz} train; {nb} det batches/epoch; "
           f"starting training for {opt.epochs} epochs...")
     t0 = time.time()
@@ -335,16 +352,11 @@ def train(opt):
             if opt.multi_scale:
                 # bucketed multi-scale (reference train.py:354-361): random
                 # scale in [0.5, 1.5]x from a fixed bucket set (XLA compiles
-                # each size once); both dims scale by the same factor like
-                # the reference's sf = sz / max(shape) — aspect preserved
-                import cv2 as _cv2
-                sf = (0.5, 0.75, 1.0, 1.25, 1.5)[np.random.randint(5)]
-                if sf != 1.0:
-                    h0, w0 = imgs.shape[1:3]
-                    nh = max(int(round(h0 * sf / gs)) * gs, gs)
-                    nw = max(int(round(w0 * sf / gs)) * gs, gs)
-                    imgs = np.stack([_cv2.resize(im, (nw, nh))
-                                     for im in imgs], 0)
+                # each size once); drawn from a dedicated seeded RNG so runs
+                # are reproducible given --seed (the dataloader threads
+                # consume the global np.random concurrently)
+                sf = (0.5, 0.75, 1.0, 1.25, 1.5)[ms_rng.randint(5)]
+                imgs = multiscale_resize(imgs, sf, gs)
             ni = i + ni_base
             if ni < 3 and not opt.nosave:  # first-batch mosaics (reference
                 try:                        # train.py:413-415)

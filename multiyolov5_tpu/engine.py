@@ -165,8 +165,15 @@ class Engine:
 
     def _compiled(self, in_hw, orig_hw, conf, iou, classes, agnostic,
                   multi_label, max_det, augment):
+        # env-derived compile-time flags are part of the cache key (advisor
+        # round 4): flipping a gate on a live Engine must not alias onto a
+        # stale compiled pipeline
+        import os as _os
+        env_key = tuple(_os.environ.get(k) for k in (
+            "MULTIYOLOV5_EXACT_MASK", "MULTIYOLOV5_NMS_PLANAR",
+            "MULTIYOLOV5_LAYOUT_OPT"))
         key = (in_hw, orig_hw, conf, iou, classes, agnostic, multi_label,
-               max_det, augment)
+               max_det, augment, env_key)
         if key in self._cache:
             return self._cache[key]
 
@@ -195,11 +202,16 @@ class Engine:
         # them (ops/pallas/upsample_argmax_kernel.py) — the full-res logits
         # never touch HBM.  TTA keeps the reference's materialized path.
         # MULTIYOLOV5_EXACT_MASK=1 opts out of the packed-key fused mask
-        # kernel: its running argmax clears the low max(5, log2(c)) mantissa
-        # bits, so near-ties within ~32 ulps can pick a different class than
-        # exact argmax (advisor round 1).  The eval/mIoU path
-        # (evaluation.seg_validation) never uses the kernel and is always
-        # exact; this flag makes serving bit-exact too at ~6% mask-path cost.
+        # kernel.  Its running argmax quantizes the comparison keys: with
+        # the default-on offset key (MULTIYOLOV5_MASK_OFFSET_KEY=1) the tie
+        # band is ~2.4e-4 *absolute* on the interpolated logits (low key
+        # bits carry the class id; logits ride shifted to [+1, +128] so the
+        # ulp is fixed), and all-classes-below -63 clamp to a tie; with
+        # MULTIYOLOV5_MASK_OFFSET_KEY=0 (the intermediate opt-out) the band
+        # is relative ~2^-18.  Ties resolve to the smaller class id, same
+        # as jnp.argmax.  The eval/mIoU path (evaluation.seg_validation)
+        # never uses the kernel and is always exact; EXACT_MASK=1 makes
+        # serving bit-exact too at ~6% mask-path cost.
         import os as _os
         fuse_mask = not augment and not _os.environ.get("MULTIYOLOV5_EXACT_MASK")
 

@@ -20,7 +20,9 @@ def tiny_det_dataset(tmp_path_factory):
     (root / "labels").mkdir()
     from PIL import Image
     rng = np.random.default_rng(0)
-    for i in range(4):
+    # 16 images: batch sizes round up to 8 on the 8-virtual-device mesh, so
+    # fewer than 8 images would mean ZERO train iterations per epoch
+    for i in range(16):
         Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
                         "RGB").save(root / "images" / f"im{i}.png")
         (root / "labels" / f"im{i}.txt").write_text(
@@ -41,7 +43,10 @@ def tiny_joint_dataset(tmp_path_factory):
     (root / "labels").mkdir()
     from PIL import Image
     rng = np.random.default_rng(0)
-    for i in range(4):
+    # 32 images: batch sizes round up to 8 on the 8-virtual-device mesh
+    # (fewer would mean zero train iterations per epoch), and --quad needs
+    # 4x that since collate_fn4 merges 4 loader images into one
+    for i in range(32):
         Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
                         "RGB").save(root / "images" / f"im{i}.png")
         (root / "labels" / f"im{i}.txt").write_text(
@@ -50,7 +55,7 @@ def tiny_joint_dataset(tmp_path_factory):
     for split in ("train", "val"):
         (seg / "segimages" / split).mkdir(parents=True)
         (seg / "seglabels" / split).mkdir(parents=True)
-        for i in range(4):
+        for i in range(8):
             Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8),
                             "RGB").save(seg / "segimages" / split / f"s{i}.png")
             m = rng.integers(0, 19, (64, 64)).astype(np.uint8)
@@ -162,3 +167,67 @@ def test_evolve_two_generations(tiny_det_dataset, tmp_path):
     for k in keys:
         lo, hi = EVOLVE_META[k][1], EVOLVE_META[k][2]
         assert lo - 1e-9 <= float(evolved[k]) <= hi + 1e-9, (k, evolved[k])
+
+
+def test_train_cli_image_weights(tiny_det_dataset, tmp_path, monkeypatch):
+    """--image-weights (reference train.py:303-316): per-epoch weighted
+    resampling must actually be applied — set_image_weights is called each
+    epoch and rewrites ds.indices to a weighted draw (with replacement, so
+    across two epochs the order is not the identity)."""
+    from multiyolov5_tpu.cli.train import main
+    from multiyolov5_tpu.data.detection import DetectionLoader
+
+    calls = []
+    orig = DetectionLoader.set_image_weights
+
+    def spy(self, weights):
+        assert np.isfinite(weights).all() and (weights >= 0).all()
+        orig(self, weights)
+        calls.append(list(self.ds.indices))
+
+    monkeypatch.setattr(DetectionLoader, "set_image_weights", spy)
+    save_dir, _ = main([
+        "--cfg", "/root/reference/models/yolov5s.yaml",
+        "--data", str(tiny_det_dataset),
+        "--epochs", "2", "--batch-size", "2",
+        "--img-size", "64", "64", "--img-size-test", "64",
+        "--workers", "2", "--project", str(tmp_path / "runs"),
+        "--no-tb", "--noautoanchor", "--noval", "--image-weights"])
+    assert len(calls) == 2  # once per epoch
+    n = len(calls[0])
+    assert all(len(c) == n for c in calls)
+    # a weighted redraw with replacement: identity-ordering twice in a row
+    # has probability (1/n!)^2-ish — assert the resampling really reorders
+    assert any(c != list(range(n)) for c in calls), calls
+    line = (Path(save_dir) / "results.txt").read_text().strip().splitlines()
+    assert len(line) == 2
+
+
+def test_train_cli_multi_scale(tiny_det_dataset, tmp_path, monkeypatch):
+    """--multi-scale (reference train.py:354-361): the bucket draw must
+    change the jitted train-step geometry at least once.  The sf sequence is
+    deterministic given --seed (dedicated RNG): seed 0 draws buckets
+    [4, 0, ...] -> 96px then 32px batches on the 64px fixture."""
+    import multiyolov5_tpu.cli.train as tmod
+
+    shapes = []
+    orig = tmod.multiscale_resize
+
+    def spy(imgs, sf, gs):
+        out = orig(imgs, sf, gs)
+        shapes.append(out.shape[1:3])
+        return out
+
+    monkeypatch.setattr(tmod, "multiscale_resize", spy)
+    save_dir, _ = tmod.main([
+        "--cfg", "/root/reference/models/yolov5s.yaml",
+        "--data", str(tiny_det_dataset),
+        "--epochs", "1", "--batch-size", "2",
+        "--img-size", "64", "64", "--img-size-test", "64",
+        "--workers", "2", "--project", str(tmp_path / "runs"),
+        "--no-tb", "--noautoanchor", "--noval", "--multi-scale"])
+    assert shapes, "multiscale_resize never called"
+    assert any(s != (64, 64) for s in shapes), shapes
+    # the run survived re-jitting under the changed geometry
+    line = (Path(save_dir) / "results.txt").read_text().strip().splitlines()[0]
+    assert np.isfinite([float(v) for v in line.split()]).all()
