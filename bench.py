@@ -198,13 +198,19 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
         if seg is not None:
             if seg_up:
                 cm = jnp.argmax(resize_bilinear(seg, orig_hw), -1)
+                out = out + cm.astype(jnp.float32).sum()
             else:
                 # engine fast path: fused Pallas upsample+argmax from the
                 # planar 1/8-res head logits (the x8 upsample never runs
-                # either, and the logits stay in per-class planes)
+                # either, and the logits stay in per-class planes).
+                # Data-dependence via a sparse slice: the custom call
+                # computes every block regardless, but a full-mask
+                # convert+sum is NOT in the real pipeline and XLA
+                # materialized it unfused at bs8 (~14us/frame of pure
+                # bench-harness artifact in the round-4 numbers)
                 cm = upsample_argmax_planar(
                     seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
-            out = out + cm.astype(jnp.float32).sum()
+                out = out + cm[:, 0, ::64].astype(jnp.float32).sum()
         return out
 
     @jax.jit

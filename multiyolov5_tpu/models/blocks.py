@@ -58,9 +58,17 @@ def _conv3x3_fused_fast(ctx: Ctx, cname: str, x, d: int = 1,
     default layout, severing T(2,128) back-propagation into the trunk.
     MULTIYOLOV5_XLA_SEGCONV=1 opts back into the XLA lowering."""
     import os
+    # batch-1 only (round-5 bs8 A/B: 1545 vs 1582 FPS with the kernels
+    # off): at serving batch sizes XLA's batch conv emitters beat the
+    # kernel AND the custom-call boundary forces ~40us/frame of relayout
+    # copies of the batch-layout neck outputs.  The head's 1x1 dot route
+    # stays on at every batch (disabling it A/B'd 1437).
+    # MULTIYOLOV5_FORCE_SEGCONV=1 re-enables for batched A/Bs.
     if (not ctx.fused or ctx.train or x.ndim != 4 or x.shape[-1] % 8
             or x.shape[1] * x.shape[2] * x.shape[-1] > (1 << 22)
             or jax.default_backend() != "tpu"
+            or (x.shape[0] > 1
+                and not os.environ.get("MULTIYOLOV5_FORCE_SEGCONV"))
             or not getattr(ctx, "sever_heads", True)
             or os.environ.get("MULTIYOLOV5_XLA_SEGCONV")):
         return None

@@ -189,8 +189,13 @@ def seg_psp(ctx: Ctx, name: str, xs: List[jnp.ndarray]):
     # tiling that otherwise leaks into the neck
     # sever_heads=False (forward(sever=False)) keeps the head on plain
     # convs — required for export (TFLite can't take the rank-4 reshaped
-    # dots) and under GSPMD spatial sharding
-    ctx.dot1x1 = not ctx.train and getattr(ctx, "sever_heads", True)
+    # dots) and under GSPMD spatial sharding.  MULTIYOLOV5_XLA_SEGDOT=1
+    # keeps the head 1x1s on XLA convs (batched-serving A/Bs: at bs>1 the
+    # default-layout dots force relayout copies of the XLA-batch-layout
+    # neck outputs at every head boundary).
+    import os as _os
+    ctx.dot1x1 = (not ctx.train and getattr(ctx, "sever_heads", True)
+                  and not _os.environ.get("MULTIYOLOV5_XLA_SEGDOT"))
     f8 = B.conv(ctx, name + ".m8.0", x8, 1)
     f16 = B.conv(ctx, name + ".m16.0", x16, 1)
     f32 = B.conv(ctx, name + ".m32.0", x32, 1)

@@ -143,7 +143,7 @@ def _upsample_argmax_tpu(x: jnp.ndarray, out_hw, via_hw, align_corners):
 
 
 def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c,
-                   offset_key):
+                   offset_key, batched=False):
     """Planar input (c, hp, wp): each class plane is a native (sublane,
     lane)-tiled 2-D slab — two standard matmuls per class, no relayouts.
     This is the preferred form: feeding the NHWC kernel above from a
@@ -172,8 +172,14 @@ def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c,
     bits = max(5, int(c - 1).bit_length())
     lim = (1 << bits) - 1
     mh = mh_ref[:]
+    # batched form: grid (b, j, i) with a leading size-1 batch block on
+    # x/idx; the h-block id moves to program_id(2)
+    h_id = pl.program_id(2) if batched else pl.program_id(1)
 
-    @pl.when(pl.program_id(1) == 0)
+    def x_plane(ci):
+        return x_ref[0, ci] if batched else x_ref[ci]
+
+    @pl.when(h_id == 0)
     def _fill_t():
         mwt = mwt_ref[:]
         for ci in range(c):
@@ -182,7 +188,7 @@ def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c,
             # 302 MFLOP vs 554 per class at 64x128 -> 1024x2048 (the other
             # association order made the kernel ~35% slower)
             t_ref[ci] = jax.lax.dot_general(
-                x_ref[ci], mwt, dimension_numbers=(((1,), (0,)), ((), ())),
+                x_plane(ci), mwt, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec).astype(t_ref.dtype)
 
@@ -199,8 +205,11 @@ def _kernel_planar(x_ref, mh_ref, mwt_ref, idx_ref, t_ref, *, c,
     best = key_of(0)
     for ci in range(1, c):
         best = jnp.maximum(best, key_of(ci))
-    idx_ref[:] = (jnp.int32(lim) - (best & jnp.int32(lim))).astype(
-        idx_ref.dtype)
+    out = (jnp.int32(lim) - (best & jnp.int32(lim))).astype(idx_ref.dtype)
+    if batched:
+        idx_ref[0] = out
+    else:
+        idx_ref[:] = out
 
 
 _OFFSET_KEY = os.environ.get("MULTIYOLOV5_MASK_OFFSET_KEY", "1") != "0"
@@ -246,30 +255,55 @@ def _upsample_argmax_planar_tpu(xp: jnp.ndarray, out_hw, via_hw,
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, hp - xp.shape[2]),
                           (0, wp - w)))
 
-    kernel = functools.partial(_kernel_planar, c=c, offset_key=_OFFSET_KEY)
-    # grid (j, i): the h-block i iterates fastest so the per-w-block
-    # column-expand scratch (t_ref) fills once at i==0 and is reused
+    if b == 1:
+        kernel = functools.partial(_kernel_planar, c=c,
+                                   offset_key=_OFFSET_KEY)
+        # grid (j, i): the h-block i iterates fastest so the per-w-block
+        # column-expand scratch (t_ref) fills once at i==0 and is reused
+        call = pl.pallas_call(
+            kernel,
+            grid=(w0p // bw, h0p // bh),
+            in_specs=[
+                pl.BlockSpec((c, hp, wp), lambda j, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, hp), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((wp, bw), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bh, bw), lambda j, i: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h0p, w0p), jnp.uint8),
+            scratch_shapes=[pltpu.VMEM((c, hp, bw), dt)],
+            # the column-expand scratch (c, hp, bw) overflows the 16 MB
+            # default scoped budget in the f32 test path; v5e has 128 MB
+            # physical VMEM
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        )
+        return call(xp[0], mh_j, mwt_j)[None, :h0, :w0]
+    # batched grid (b, j, i): one custom call for the whole batch — the
+    # per-image call loop dispatched b kernels and paid a (B, H0, W0)
+    # stack copy on their outputs at serving batch sizes
+    kernel = functools.partial(_kernel_planar, c=c, offset_key=_OFFSET_KEY,
+                               batched=True)
     call = pl.pallas_call(
         kernel,
-        grid=(w0p // bw, h0p // bh),
+        grid=(b, w0p // bw, h0p // bh),
         in_specs=[
-            pl.BlockSpec((c, hp, wp), lambda j, i: (0, 0, 0),
+            pl.BlockSpec((1, c, hp, wp), lambda bi, j, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, hp), lambda j, i: (i, 0),
+            pl.BlockSpec((bh, hp), lambda bi, j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, bw), lambda j, i: (0, j),
+            pl.BlockSpec((wp, bw), lambda bi, j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bh, bw), lambda j, i: (i, j),
+        out_specs=pl.BlockSpec((1, bh, bw), lambda bi, j, i: (bi, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h0p, w0p), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, h0p, w0p), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((c, hp, bw), dt)],
-        # the column-expand scratch (c, hp, bw) overflows the 16 MB default
-        # scoped budget in the f32 test path; v5e has 128 MB physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )
-    outs = [call(xp[i], mh_j, mwt_j) for i in range(b)]
-    return jnp.stack(outs)[:, :h0, :w0]
+    return call(xp, mh_j, mwt_j)[:, :h0, :w0]
 
 
 def upsample_argmax_planar(xp: jnp.ndarray, out_hw, via_hw=None,

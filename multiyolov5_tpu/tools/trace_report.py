@@ -60,7 +60,14 @@ def device_op_times(trace: dict) -> List[Tuple[str, float, int]]:
             continue
         agg[name][0] += dur
         agg[name][1] += 1
-    rows = [(k, v[0], v[1]) for k, v in agg.items()]
+        # XLA op events usually carry the full HLO text (shape + operands)
+        # in args — keep one sample per op for shape attribution
+        if len(agg[name]) == 2:
+            a = e.get("args", {}) or {}
+            agg[name].append(str(a.get("long_name") or a.get("hlo_op")
+                                 or a.get("name") or "")[:220])
+    rows = [(k, v[0], v[1], v[2] if len(v) > 2 else "")
+            for k, v in agg.items()]
     rows.sort(key=lambda r: -r[1])
     return rows
 
@@ -98,7 +105,7 @@ def trace_and_report(fn: Callable[[], None], top: int = 30,
         jax.profiler.stop_trace()
     rows = device_op_times(_load_trace(d))
     by_class = defaultdict(float)
-    for name, us, _ in rows:
+    for name, us, *_ in rows:
         by_class[classify(name)] += us
     total = sum(by_class.values())
     print(f"{'class':>16} {'us':>12} {'%':>6}")
@@ -106,8 +113,9 @@ def trace_and_report(fn: Callable[[], None], top: int = 30,
         print(f"{k:>16} {v:>12.1f} {100 * v / max(total, 1e-9):>6.1f}")
     print(f"{'TOTAL':>16} {total:>12.1f}")
     print(f"\ntop {top} ops:")
-    for name, us, cnt in rows[:top]:
-        print(f"  {us:>10.1f} us x{cnt:<5} {name[:110]}")
+    for name, us, cnt, *meta in rows[:top]:
+        detail = f"  | {meta[0]}" if meta and meta[0] else ""
+        print(f"  {us:>10.1f} us x{cnt:<5} {name[:110]}{detail}")
     if not log_dir:
         shutil.rmtree(d, ignore_errors=True)
     return rows

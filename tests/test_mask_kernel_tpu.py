@@ -122,6 +122,18 @@ def test_offset_key_matches_signfold_key_outside_band(monkeypatch):
     assert mism.mean() < 1e-4
 
 
+def test_batched_matches_per_image():
+    """The bs>1 single-call batched grid must produce exactly the same
+    class maps as b separate single-image calls."""
+    rng = np.random.RandomState(11)
+    g = GEOM
+    xp = rng.randn(4, g["c"], g["h"], g["w"]).astype(np.float32) * 2.0
+    out_b = _run_kernel(xp, g["out"], g["via"])
+    for i in range(xp.shape[0]):
+        out_1 = _run_kernel(xp[i:i + 1], g["out"], g["via"])
+        assert (out_b[i] == out_1[0]).all(), i
+
+
 def test_below_clamp_pixels_resolve_to_smallest_class():
     """All classes < -63 at a pixel -> clamped tie; documented semantics:
     resolves to the smallest class id (same direction as jnp.argmax picks
