@@ -174,7 +174,44 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
               and os.environ.get("MULTIYOLOV5_NMS_PLANAR") != "0")
     dec_mode = "planar" if planar else True
 
+    # batch-as-scan serving (same gate as Engine._compiled): batched stem
+    # kernel once, scan the batch-1 severed body per image, batched mask
+    # kernel on the stacked planar logits — no batch-layout relayouts
+    batch_scan = (bs > 1 and use_pallas_stem and planar and not seg_up
+                  and os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
+
     def body(x, fw):
+        if batch_scan:
+            y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
+            head_stop = min(i for i in (spec.seg_index, spec.detect_index)
+                            if i is not None and i >= 0)
+            head_need = sorted({
+                j for r in spec.rows[head_stop:]
+                for r_f in [r.f if isinstance(r.f, (list, tuple)) else [r.f]]
+                for j in r_f if j != -1 and j < head_stop})
+
+            per_img = []
+            for i in range(bs):
+                feats_i, y_i, _ = forward(spec, params, state, y1[i:i + 1],
+                                          train=False, fused=True,
+                                          decode=dec_mode, start_layer=2,
+                                          seg_up=False,
+                                          stop_before=head_stop)
+                per_img.append((feats_i, y_i))
+            feats_s = tuple(
+                jnp.concatenate([f[j] for f, _ in per_img], 0)
+                for j in head_need)
+            y_s = jnp.concatenate([y for _, y in per_img], 0)
+            det, seg, _ = forward(spec, params, state, y_s, train=False,
+                                  fused=True, decode=dec_mode,
+                                  start_layer=head_stop, seg_up=False,
+                                  feats_in=dict(zip(head_need, feats_s)))
+            boxes, valid = nms_planar(det[0], conf_thres=0.25,
+                                      iou_thres=0.45, max_nms=1024)
+            out = boxes.sum() + valid.sum()
+            cm = upsample_argmax_planar(
+                seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
+            return out + cm[:, :8, :].astype(jnp.float32).sum()
         if fold:
             if use_pallas_stem:  # same gate as Engine's fused pipeline
                 y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
@@ -210,7 +247,11 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
                 # bench-harness artifact in the round-4 numbers)
                 cm = upsample_argmax_planar(
                     seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
-                out = out + cm[:, 0, ::64].astype(jnp.float32).sum()
+                # lane-contiguous read (row-strided, minor-dim prefix): a
+                # minor-dim-strided slice (cm[:, 0, ::64]) made XLA
+                # materialize a transposed copy of the whole mask at bs8
+                # (~10us/frame of harness artifact, round-5 trace)
+                out = out + cm[:, :8, :].astype(jnp.float32).sum()
         return out
 
     @jax.jit

@@ -171,7 +171,7 @@ class Engine:
         import os as _os
         env_key = tuple(_os.environ.get(k) for k in (
             "MULTIYOLOV5_EXACT_MASK", "MULTIYOLOV5_NMS_PLANAR",
-            "MULTIYOLOV5_LAYOUT_OPT"))
+            "MULTIYOLOV5_LAYOUT_OPT", "MULTIYOLOV5_BATCH_SCAN"))
         key = (in_hw, orig_hw, conf, iou, classes, agnostic, multi_label,
                max_det, augment, env_key)
         if key in self._cache:
@@ -232,9 +232,63 @@ class Engine:
                                and jax.default_backend() == "tpu")))
         dec_mode = "planar" if planar_nms else True
 
+        # batch-as-scan serving (round-5 bs8 fix): at batch>1, XLA's layout
+        # assignment swings the whole graph to batch-in-sublanes layouts
+        # ({3,0,2,1}) and every Pallas custom-call boundary pays a relayout
+        # copy — ~171us/frame at bs8 vs ~17 at bs1 (round-5 trace).  Instead
+        # run the BATCHED stem kernel once, lax.scan the batch-1 severed
+        # body (all custom kernels, default layouts, zero batch relayouts)
+        # over the images, and finish with the batched mask kernel on the
+        # stacked planar logits.  Weights are loop-invariant (hoisted);
+        # per-image slices of the stem output are contiguous leading-dim
+        # dynamic-slices.  MULTIYOLOV5_BATCH_SCAN=0 opts out (A/B knob).
+        batch_scan = (u8_stem and planar_nms and fuse_mask
+                      and _os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
+
+        # first head row: the hybrid scan runs rows [2, head_stop) per image
+        # (batch-1 severed regime, where XLA's batch-1 custom-kernel layouts
+        # win) and the head rows + NMS + mask kernel BATCHED (where XLA's
+        # batch emitters win — round-5 bs8 A/B)
+        head_stop = min(i for i in (spec.seg_index, spec.detect_index)
+                        if i is not None and i >= 0) \
+            if (spec.seg_index is not None or spec.detect_index is not None) \
+            else None
+
         def run(p, img_u8):
             z = None
-            if u8_stem:
+            if batch_scan and img_u8.shape[0] > 1:
+                from .ops.pallas.stem_kernel import stem_apply_pallas_u8
+                y1 = stem_apply_pallas_u8(img_u8, *stem_fw,
+                                          cols=in_hw[1] // 4, out_dtype=cdt)
+
+                head_need = sorted({
+                    j for r in spec.rows[head_stop:]
+                    for j in (r.f if isinstance(r.f, (list, tuple))
+                              else [r.f]) if j != -1 and j < head_stop})
+                # STATIC unrolled per-image loop — not lax.scan: a while
+                # loop makes XLA assign the carried y1 an exotic layout and
+                # pay full relayout copies on it and inside the body
+                # (bs8 A/B: scan 1627 vs unrolled 1704 FPS); static slices
+                # y1[i:i+1] fuse into the first consumers for free
+                per_img = []
+                for i in range(img_u8.shape[0]):
+                    feats_i, y_i, _ = forward(
+                        spec, p, state, y1[i:i + 1], train=False,
+                        fused=True, decode=dec_mode, start_layer=2,
+                        seg_up=False, stop_before=head_stop)
+                    per_img.append((feats_i, y_i))
+                feats = {j: jnp.concatenate([f[j] for f, _ in per_img], 0)
+                         for j in head_need}
+                y_s = jnp.concatenate([y for _, y in per_img], 0)
+                det, seg, _ = forward(
+                    spec, p, state, y_s, train=False, fused=True,
+                    decode=dec_mode, start_layer=head_stop, seg_up=False,
+                    feats_in=feats)
+                boxes, valid = nms_planar(det[0], conf_thres=conf,
+                                          iou_thres=iou, agnostic=agnostic,
+                                          class_mask=cmask,
+                                          max_nms=1024, max_det=max_det)
+            elif u8_stem:
                 # img_u8 is the host-packed uint8 x96 (pack_stem96_host):
                 # the Pallas kernel converts + normalizes on-core (scale
                 # folded into conv1) and runs both folded convs in VMEM —
@@ -286,7 +340,9 @@ class Engine:
             # yield far fewer candidates, and <=1024 rides the on-core
             # Pallas fixpoint kernel (ops/pallas/nms_fixpoint_kernel.py);
             # eval keeps the reference's 30000 cap (evaluation.py:115)
-            if from_raw:
+            if batch_scan and img_u8.shape[0] > 1:
+                pass  # boxes/valid/seg already produced by the scan branch
+            elif from_raw:
                 anchors = state[f"model.{spec.detect_index}.anchors"]
                 boxes, valid = nms_from_raw(
                     det, anchors, tuple(int(s) for s in spec.strides),

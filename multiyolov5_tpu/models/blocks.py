@@ -172,14 +172,24 @@ def _c3_packed_fast(ctx: Ctx, name: str, x, c1: int, c2: int, n: int,
     if wcv1.shape[-1] != c_ or any(m[2].shape[:2] != (3, 3) for m in mws):
         return None
     from ..ops.nn import _add_macs
-    from ..ops.pallas.c3_kernel import c3_packed_pallas
+    from ..ops.pallas.c3_kernel import c3_packed_pallas, c3_packed_pallas_hwbc
     px = bsz * h * w_
     _add_macs(px * (2 * c1 * c_ + 2 * c_ * c2
                     + n * (c_ * c_ + 9 * c_ * c_)))
-    return c3_packed_pallas(x, wcv1, p[name + ".cv1.conv.bias"],
-                            wcv2, p[name + ".cv2.conv.bias"],
-                            wcv3, p[name + ".cv3.conv.bias"],
-                            mws, q=q, shortcut=shortcut)
+    # MULTIYOLOV5_C3_HWBC=1 opts into the batch-layout variant on the
+    # (non-default) full-batch serving path: its boundaries avoid the
+    # BHWC kernel's pack/unpack relayouts, but XLA still brackets the
+    # free reshapes with copies (TPU tiled layouts make the 3D->4D
+    # reinterpretation non-bitcastable), so the A/B was a wash (1575 vs
+    # 1585 FPS at bs8) — the default serving path at batch>1 is the
+    # engine's unrolled per-image regime, which never calls this kernel
+    fn = (c3_packed_pallas_hwbc
+          if bsz > 1 and os.environ.get("MULTIYOLOV5_C3_HWBC") == "1"
+          else c3_packed_pallas)
+    return fn(x, wcv1, p[name + ".cv1.conv.bias"],
+              wcv2, p[name + ".cv2.conv.bias"],
+              wcv3, p[name + ".cv3.conv.bias"],
+              mws, q=q, shortcut=shortcut)
 
 
 def c3(ctx: Ctx, name: str, x, c1: int, c2: int, n: int = 1,

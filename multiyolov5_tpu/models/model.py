@@ -218,7 +218,9 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
             compute_dtype=None, pre_s2d: bool = False, seg_up: bool = True,
             start_layer: int = 0, pre_s2d2: bool = False,
-            sever: Optional[bool] = None, det_hwna: bool = False):
+            sever: Optional[bool] = None, det_hwna: bool = False,
+            stop_before: Optional[int] = None,
+            feats_in: Optional[Dict[int, Any]] = None):
     """Run the network.
 
     Args:
@@ -244,6 +246,11 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     ctx = Ctx(p=params, s=state, train=train, fused=fused, rng=rng,
               pre_s2d=pre_s2d, seg_up=seg_up)
     cache: Dict[int, Any] = {}
+    if feats_in:
+        # resume mode (engine hybrid batch-scan): cache pre-seeded with the
+        # trunk feature maps; the walk starts at start_layer (the first
+        # head row), which reads ONLY explicit cache indices
+        cache.update(feats_in)
     y = x
     det_raw = None
     seg_out = None
@@ -294,6 +301,15 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     p3_from = int(os.environ.get("MULTIYOLOV5_PALLAS3X3_FROM", neck_start))
     sever_to = int(os.environ.get("MULTIYOLOV5_SEVER_TO", 1 << 30))
     for row in spec.rows[start_layer:]:
+        if stop_before is not None and row.i >= stop_before:
+            # feature mode (engine hybrid batch-scan): return the cached
+            # trunk maps the remaining (head) rows will read, concretized
+            # (LazyCat can't cross a lax.scan boundary), plus the running y
+            need = sorted({j for r in spec.rows[row.i:]
+                           for j in (r.f if isinstance(r.f, (list, tuple))
+                                     else [r.f]) if j != -1 and j < row.i})
+            feats = {j: concrete(cache[j]) for j in need}
+            return feats, concrete(y), ctx.new_state
         ctx.dot1x1 = sever and dot_from <= row.i < sever_to
         ctx.pallas3x3 = sever and p3_from <= row.i < sever_to
         # fused packed-C3 kernel region: the narrow backbone C3s (1/4 and

@@ -47,22 +47,17 @@ def _silu_f32(y):
     return y * jax.nn.sigmoid(y)
 
 
-def _kernel(x_ref, wcv1_ref, bcv1_ref, wcv2_ref, bcv2_ref, w3a_ref, w3b_ref,
-            bcv3_ref, wb1_ref, bb1_ref, w33_ref, bb2_ref, out_ref, *,
-            H, cpq, cpp, q, c_, nb, shortcut):
-    """x_ref: (1, H + 2*nb, cpp, q*c1) padded packed image; out_ref:
-    (1, rpb, cpq, q*c2) block at output row r0 = ri * rpb.
+def _c3_math(rows, r0, rpb, *, H, cpq, cpp, q, c_, nb, shortcut, dt,
+             wcv1_ref, bcv1_ref, wcv2_ref, bcv2_ref, w3a_ref, w3b_ref,
+             bcv3_ref, wb1_ref, bb1_ref, w33_ref, bb2_ref):
+    """Shared C3 math on a padded packed slab.
 
-    Slab coordinates: padded row t of this block's slab is global row
-    r0 + t - nb; global pad rows/cols are zero in x (caller pad) but must
+    rows: (S, cpp, q*c1) slab covering padded rows r0 .. r0+S (slab row t
+    is global row r0 + t - nb); returns the (rpb*cpq, q*c2) f32 output of
+    the valid region.  Global pad rows/cols are zero in the slab but must
     be re-zeroed after every conv+SiLU (see module docstring)."""
-    rpb = out_ref.shape[1]
     S = rpb + 2 * nb
-    r0 = pl.program_id(1) * rpb
-    dt = out_ref.dtype
     qc_ = q * c_
-
-    rows = x_ref[0, pl.ds(r0, S)]                    # (S, cpp, q*c1)
     rows2d = rows.reshape(S * cpp, rows.shape[-1])
 
     # global-pad mask for a (S, cpp, K)-shaped slab value: row t is pad iff
@@ -119,8 +114,93 @@ def _kernel(x_ref, wcv1_ref, bcv1_ref, wcv2_ref, bcv2_ref, w3a_ref, w3b_ref,
                             preferred_element_type=jnp.float32)
     y = y + jax.lax.dot_general(b2, w3b_ref[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    y = _silu_f32(y + bcv3_ref[:].astype(jnp.float32))
+    return _silu_f32(y + bcv3_ref[:].astype(jnp.float32))
+
+
+def _kernel(x_ref, wcv1_ref, bcv1_ref, wcv2_ref, bcv2_ref, w3a_ref, w3b_ref,
+            bcv3_ref, wb1_ref, bb1_ref, w33_ref, bb2_ref, out_ref, *,
+            H, cpq, cpp, q, c_, nb, shortcut):
+    """x_ref: (1, H + 2*nb, cpp, q*c1) padded packed image; out_ref:
+    (1, rpb, cpq, q*c2) block at output row r0 = ri * rpb."""
+    rpb = out_ref.shape[1]
+    r0 = pl.program_id(1) * rpb
+    dt = out_ref.dtype
+    rows = x_ref[0, pl.ds(r0, rpb + 2 * nb)]         # (S, cpp, q*c1)
+    y = _c3_math(rows, r0, rpb, H=H, cpq=cpq, cpp=cpp, q=q, c_=c_, nb=nb,
+                 shortcut=shortcut, dt=dt, wcv1_ref=wcv1_ref,
+                 bcv1_ref=bcv1_ref, wcv2_ref=wcv2_ref, bcv2_ref=bcv2_ref,
+                 w3a_ref=w3a_ref, w3b_ref=w3b_ref, bcv3_ref=bcv3_ref,
+                 wb1_ref=wb1_ref, bb1_ref=bb1_ref, w33_ref=w33_ref,
+                 bb2_ref=bb2_ref)
     out_ref[0] = y.astype(dt).reshape(rpb, cpq, out_ref.shape[-1])
+
+
+def _kernel_hwbc(x_ref, wcv1_ref, bcv1_ref, wcv2_ref, bcv2_ref, w3a_ref,
+                 w3b_ref, bcv3_ref, wb1_ref, bb1_ref, w33_ref, bb2_ref,
+                 out_ref, slab_ref, *, H, cpq, cpp, q, c_, nb, shortcut,
+                 bsz, c2, nri):
+    """Batch-layout variant: grid (nri, bsz) with bi INNER; out_ref is the
+    (rpb, cpq, q*bsz*c2) block at (ri, 0, 0), revisited across bi (stays
+    VMEM-resident), lane-ordered (q-phase, batch, channel) so the 3D HBM
+    result's bytes are exactly the (H, W, B, c2) row-major array — i.e.
+    the {3,0,2,1} batch layout XLA's bs>1 conv emitters want, with zero
+    relayout copies at either custom-call boundary (round-5: those copies
+    cost ~55us/frame of the bs8 serving budget).
+
+    x_ref: (1, H, cpq, q*c1) RAW packed image bi (reshape-of-NHWC bitcast,
+    not pre-padded); the zero halo lives in slab_ref, built in-kernel."""
+    rpb = out_ref.shape[0]
+    S = rpb + 2 * nb
+    ri = pl.program_id(0)
+    bi = pl.program_id(1)
+    r0 = ri * rpb
+    dt = out_ref.dtype
+
+    # padded slab build: col pads (packed col 0 and cpq+1..) are zeroed once
+    # and never overwritten; row pads are zeroed when first/last row blocks
+    # are entered; the interior is copied from the raw image every step
+    qc1 = x_ref.shape[-1]
+
+    @pl.when((ri == 0) & (bi == 0))
+    def _zero_all():
+        slab_ref[...] = jnp.zeros((S, cpp, qc1), dt)
+
+    if nri > 1:
+        @pl.when((ri == nri - 1) & (bi == 0))
+        def _zero_bottom():   # rows S-nb.. held interior data at earlier ri
+            slab_ref[S - nb:, :, :] = jnp.zeros((nb, cpp, qc1), dt)
+
+    if nri == 1:
+        slab_ref[nb:nb + H, 1:cpq + 1, :] = x_ref[0]
+    else:
+        @pl.when(ri == 0)
+        def _fill_first():
+            slab_ref[nb:S, 1:cpq + 1, :] = x_ref[0, 0:rpb + nb]
+
+        @pl.when((ri > 0) & (ri < nri - 1))
+        def _fill_mid():
+            slab_ref[0:S, 1:cpq + 1, :] = x_ref[0, pl.ds(r0 - nb, S)]
+
+        @pl.when(ri == nri - 1)
+        def _fill_last():
+            slab_ref[0:S - nb, 1:cpq + 1, :] = \
+                x_ref[0, pl.ds(H - (rpb + nb), rpb + nb)]
+
+    y = _c3_math(slab_ref[...], r0, rpb, H=H, cpq=cpq, cpp=cpp, q=q, c_=c_,
+                 nb=nb, shortcut=shortcut, dt=dt, wcv1_ref=wcv1_ref,
+                 bcv1_ref=bcv1_ref, wcv2_ref=wcv2_ref, bcv2_ref=bcv2_ref,
+                 w3a_ref=w3a_ref, w3b_ref=w3b_ref, bcv3_ref=bcv3_ref,
+                 wb1_ref=wb1_ref, bb1_ref=bb1_ref, w33_ref=w33_ref,
+                 bb2_ref=bb2_ref)
+    yk = y.astype(dt).reshape(rpb, cpq, q * c2)
+    # static lane-window writes: packed pixel k of image b lands at lane
+    # window (k*bsz + b)*c2 — bytes (h, wq, k, b, c) == (H, W, B, c2)
+    for b in range(bsz):
+        @pl.when(bi == b)
+        def _store(b=b):
+            for k in range(q):
+                out_ref[:, :, (k * bsz + b) * c2:(k * bsz + b + 1) * c2] = \
+                    yk[:, :, k * c2:(k + 1) * c2]
 
 
 def _bd(w: jnp.ndarray, q: int) -> jnp.ndarray:
@@ -229,6 +309,82 @@ def conv3x3_packed_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         interpret=jax.default_backend() != "tpu",
     )(xq, w33.astype(dt),
       jnp.tile(b, q).astype(jnp.float32)).reshape(bsz, h, w_, co)
+
+
+@functools.partial(jax.jit, static_argnames=("q", "shortcut"))
+def c3_packed_pallas_hwbc(x: jnp.ndarray, wcv1, bcv1, wcv2, bcv2, wcv3,
+                          bcv3, mws, q: int,
+                          shortcut: bool = True) -> jnp.ndarray:
+    """Batch-layout fused C3: same math as :func:`c3_packed_pallas`, but
+    both custom-call boundaries are copy-free at serving batch sizes.
+
+    The input is the RAW packed reshape of x (a row-major bitcast — the
+    zero halo is built in an in-kernel VMEM slab, so no XLA pad/DUS that
+    layout assignment can bracket with relayout copies), and the output is
+    a 3D (H, Wq, q*B*c2) array whose lane order (q-phase, batch, channel)
+    makes its bytes exactly the (H, W, B, c2) row-major array == the
+    [B,H,W,c2]{3,0,2,1} batch layout XLA's bs>1 conv emitters consume
+    directly (dim_labels 01bf — verified: the final transpose compiles to
+    a bitcast).  Grid is (row blocks, batch) with batch INNER so the
+    output block stays VMEM-resident across the batch and is stored once.
+
+    Returns (B, H, W, c2), numerically identical to c3_packed_pallas
+    (tests/test_c3_kernel.py::test_c3_hwbc_matches_packed)."""
+    bsz, h, w_, c1 = x.shape
+    c_ = wcv1.shape[-1]
+    c2 = wcv3.shape[-1]
+    nb = len(mws)
+    dt = x.dtype
+    cpq = w_ // q
+    cpp = -(-(cpq + 2) // 8) * 8
+    xq = x.reshape(bsz, h, cpq, q * c1)          # row-major bitcast
+
+    rpb = h
+    for cand in (32, 16, 8):
+        if h % cand == 0:
+            rpb = cand
+            break
+    nri = h // rpb
+
+    wb1 = jnp.stack([_bd(m[0].reshape(c_, c_), q) for m in mws])
+    bb1 = jnp.stack([jnp.tile(m[1], q) for m in mws]).astype(jnp.float32)
+    w33 = jnp.stack([_pack_w33(m[2], q, c_, c_) for m in mws])
+    bb2 = jnp.stack([jnp.tile(m[3], q) for m in mws]).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel_hwbc, H=h, cpq=cpq, cpp=cpp, q=q,
+                               c_=c_, nb=nb, shortcut=shortcut, bsz=bsz,
+                               c2=c2, nri=nri)
+    out3 = pl.pallas_call(
+        kernel,
+        grid=(nri, bsz),
+        in_specs=[
+            # whole raw image per (ri, bi): re-DMA'd per step (batch inner),
+            # hidden under the block's MXU work
+            pl.BlockSpec((1, h, cpq, q * c1), lambda ri, bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec((rpb, cpq, q * bsz * c2),
+                               lambda ri, bi: (ri, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, cpq, q * bsz * c2), dt),
+        scratch_shapes=[pltpu.VMEM((rpb + 2 * nb, cpp, q * c1), dt)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=jax.default_backend() != "tpu",
+    )(xq,
+      _bd(wcv1.reshape(c1, c_), q).astype(dt),
+      jnp.tile(bcv1, q).astype(jnp.float32),
+      _bd(wcv2.reshape(c1, c_), q).astype(dt),
+      jnp.tile(bcv2, q).astype(jnp.float32),
+      _bd(wcv3.reshape(2 * c_, c2)[:c_], q).astype(dt),
+      _bd(wcv3.reshape(2 * c_, c2)[c_:], q).astype(dt),
+      jnp.tile(bcv3, q).astype(jnp.float32),
+      wb1.astype(dt), bb1, w33.astype(dt), bb2)
+    # (H, Wq, q*B*c2) -> (H, W, B, c2) is stride-uniform (pure bitcast);
+    # the 4D HWBC -> BHWC transpose is then absorbed into the consumer
+    # conv's dim_labels (01bf) by XLA — keep it in exactly this 4D form
+    # (a 5D transpose+reshape chain defeated the bitcast pass)
+    y = out3.reshape(h, w_, bsz, c2)
+    return jnp.transpose(y, (2, 0, 1, 3))
 
 
 @functools.partial(jax.jit, static_argnames=("q", "shortcut"))

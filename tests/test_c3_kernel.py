@@ -133,3 +133,26 @@ def test_c3_packed_fast_hook_dispatches(rng, monkeypatch):
     got = np.asarray(blocks.c3(ctx, "m", x, c1, c2, n=n))
     assert called["hit"]
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+from multiyolov5_tpu.ops.pallas.c3_kernel import c3_packed_pallas_hwbc
+
+
+@pytest.mark.parametrize("b,h,w,c1,c_,c2,n,q,shortcut", [
+    (8, 32, 64, 64, 32, 64, 1, 4, True),   # s layer-2 family at batch
+    (2, 16, 32, 96, 48, 96, 2, 2, True),   # m widths, n=2
+    (3, 16, 32, 64, 32, 64, 1, 4, False),  # no-shortcut, odd batch
+    (4, 8, 32, 64, 32, 64, 1, 4, True),    # single row block (nri == 1)
+])
+def test_c3_hwbc_matches_packed(rng, b, h, w, c1, c_, c2, n, q, shortcut):
+    """Batch-layout variant == BHWC packed kernel, elementwise exact
+    (same dots in the same order; only the store layout differs)."""
+    x = jnp.asarray(rng.rand(b, h, w, c1).astype(np.float32))
+    wcv1, bcv1, wcv2, bcv2, wcv3, bcv3, mws = _mk(rng, c1, c_, c2, n)
+    want = np.asarray(c3_packed_pallas(x, wcv1, bcv1, wcv2, bcv2, wcv3,
+                                       bcv3, mws, q=q, shortcut=shortcut))
+    got = np.asarray(c3_packed_pallas_hwbc(x, wcv1, bcv1, wcv2, bcv2, wcv3,
+                                           bcv3, mws, q=q,
+                                           shortcut=shortcut))
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
