@@ -132,7 +132,7 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
     import jax.numpy as jnp
 
     from multiyolov5_tpu.engine import Engine, space_to_depth_host
-    from multiyolov5_tpu.models.model import forward
+    from multiyolov5_tpu.models.model import forward, stack_feats
     from multiyolov5_tpu.ops import stem as stem_lib
     from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
     from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import (
@@ -159,10 +159,11 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
         # (normalize folded into the conv1 weights, row-pair packing done
         # host-side) — no device-side prep pass at all
         from multiyolov5_tpu.ops.pallas.stem_kernel import (
-            pack_stem96_host, stem_apply_pallas_u8, stem_pack_geometry)
+            pack_stem96_chunked_host, pack_stem96_host, stem_apply_pallas_u8,
+            stem_apply_pallas_u8_multi, stem_pack_geometry)
         cp, _ = stem_pack_geometry(in_hw[0] // 4, in_hw[1] // 4)
-        x0 = jnp.asarray(pack_stem96_host(
-            space_to_depth_host(space_to_depth_host(frame)), cp))
+        x48 = space_to_depth_host(space_to_depth_host(frame))
+        x0 = jnp.asarray(pack_stem96_host(x48, cp))
     elif fold:
         x0 = jnp.asarray(space_to_depth_host(
             space_to_depth_host(frame)).astype(np.float32))
@@ -174,40 +175,70 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
               and os.environ.get("MULTIYOLOV5_NMS_PLANAR") != "0")
     dec_mode = "planar" if planar else True
 
-    # batch-as-scan serving (same gate as Engine._compiled): batched stem
-    # kernel once, scan the batch-1 severed body per image, batched mask
-    # kernel on the stacked planar logits — no batch-layout relayouts
+    # batch-as-scan serving (same gate as Engine._compiled): multi-output
+    # stem kernel, unrolled batch-1 trunk per image, batched seg head +
+    # batched mask kernel, per-image detect+NMS — no batch-layout relayouts
     batch_scan = (bs > 1 and use_pallas_stem and planar and not seg_up
                   and os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
+    if batch_scan:
+        from multiyolov5_tpu.ops.pallas.stem_kernel import (
+            pack_stem96_chunked_host, stem_apply_pallas_u8_multi)
+        x0 = jnp.asarray(pack_stem96_chunked_host(x48, cp, 32))
 
     def body(x, fw):
         if batch_scan:
-            y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
+            # multi-output stem: per-image arrays straight from the kernel —
+            # no batch slicing of the stem output (XLA materialized the 8
+            # slices as a full copy, ~11.5us/frame)
+            y1s = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)
             head_stop = min(i for i in (spec.seg_index, spec.detect_index)
                             if i is not None and i >= 0)
-            head_need = sorted({
-                j for r in spec.rows[head_stop:]
-                for r_f in [r.f if isinstance(r.f, (list, tuple)) else [r.f]]
-                for j in r_f if j != -1 and j < head_stop})
+            cut = int(os.environ.get("MULTIYOLOV5_SCAN_CUT", head_stop))
 
             per_img = []
             for i in range(bs):
-                feats_i, y_i, _ = forward(spec, params, state, y1[i:i + 1],
+                feats_i, y_i, _ = forward(spec, params, state, y1s[i],
                                           train=False, fused=True,
                                           decode=dec_mode, start_layer=2,
                                           seg_up=False,
-                                          stop_before=head_stop)
+                                          stop_before=cut)
                 per_img.append((feats_i, y_i))
-            feats_s = tuple(
-                jnp.concatenate([f[j] for f, _ in per_img], 0)
-                for j in head_need)
-            y_s = jnp.concatenate([y for _, y in per_img], 0)
-            det, seg, _ = forward(spec, params, state, y_s, train=False,
-                                  fused=True, decode=dec_mode,
-                                  start_layer=head_stop, seg_up=False,
-                                  feats_in=dict(zip(head_need, feats_s)))
-            boxes, valid = nms_planar(det[0], conf_thres=0.25,
-                                      iou_thres=0.45, max_nms=1024)
+            if os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0":
+                bv = []
+                for feats_i, y_i in per_img:
+                    det_i, _, _ = forward(spec, params, state, y_i,
+                                          train=False, fused=True,
+                                          decode=dec_mode,
+                                          start_layer=spec.detect_index,
+                                          seg_up=False, feats_in=feats_i)
+                    bv.append(nms_planar(det_i[0], conf_thres=0.25,
+                                         iou_thres=0.45, max_nms=1024))
+                boxes = jnp.concatenate([b for b, _ in bv], 0)
+                valid = jnp.concatenate([v for _, v in bv], 0)
+                seg_need = {j for jj in (spec.rows[spec.seg_index].f
+                                         if isinstance(spec.rows[spec.seg_index].f,
+                                                       (list, tuple))
+                                         else [spec.rows[spec.seg_index].f])
+                            for j in [jj] if j != -1}
+                feats = stack_feats([{j: f[j] for j in seg_need}
+                                     for f, _ in per_img])
+                # the seg row reads ONLY explicit cache refs — x is just
+                # batch-size/dtype context, so skip the y concat entirely
+                y_s = jnp.zeros((bs, 1, 1, 1), per_img[0][1].dtype)
+                _, seg, _ = forward(spec, params, state, y_s, train=False,
+                                    fused=True, decode=False,
+                                    start_layer=spec.seg_index, seg_up=False,
+                                    feats_in=feats,
+                                    stop_before=spec.detect_index)
+            else:
+                feats = stack_feats([f for f, _ in per_img])
+                y_s = jnp.concatenate([y for _, y in per_img], 0)
+                det, seg, _ = forward(spec, params, state, y_s, train=False,
+                                      fused=True, decode=dec_mode,
+                                      start_layer=cut, seg_up=False,
+                                      feats_in=feats)
+                boxes, valid = nms_planar(det[0], conf_thres=0.25,
+                                          iou_thres=0.45, max_nms=1024)
             out = boxes.sum() + valid.sum()
             cm = upsample_argmax_planar(
                 seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))

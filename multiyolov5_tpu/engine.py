@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.config import ModelSpec, load_spec
-from .models.model import forward, init_model
+from .models.model import forward, init_model, stack_feats
 from .ops import stem as stem_lib
 from .ops.nms import nms_batched, nms_from_raw, nms_planar
 from .ops.pallas.upsample_argmax_kernel import upsample_argmax_planar
@@ -171,7 +171,8 @@ class Engine:
         import os as _os
         env_key = tuple(_os.environ.get(k) for k in (
             "MULTIYOLOV5_EXACT_MASK", "MULTIYOLOV5_NMS_PLANAR",
-            "MULTIYOLOV5_LAYOUT_OPT", "MULTIYOLOV5_BATCH_SCAN"))
+            "MULTIYOLOV5_LAYOUT_OPT", "MULTIYOLOV5_BATCH_SCAN",
+            "MULTIYOLOV5_DET_PER_IMAGE"))
         key = (in_hw, orig_hw, conf, iou, classes, agnostic, multi_label,
                max_det, augment, env_key)
         if key in self._cache:
@@ -232,62 +233,97 @@ class Engine:
                                and jax.default_backend() == "tpu")))
         dec_mode = "planar" if planar_nms else True
 
-        # batch-as-scan serving (round-5 bs8 fix): at batch>1, XLA's layout
+        # batch>1 serving regime (round-5 bs8 fix): at batch>1, XLA's layout
         # assignment swings the whole graph to batch-in-sublanes layouts
         # ({3,0,2,1}) and every Pallas custom-call boundary pays a relayout
-        # copy — ~171us/frame at bs8 vs ~17 at bs1 (round-5 trace).  Instead
-        # run the BATCHED stem kernel once, lax.scan the batch-1 severed
-        # body (all custom kernels, default layouts, zero batch relayouts)
-        # over the images, and finish with the batched mask kernel on the
-        # stacked planar logits.  Weights are loop-invariant (hoisted);
-        # per-image slices of the stem output are contiguous leading-dim
-        # dynamic-slices.  MULTIYOLOV5_BATCH_SCAN=0 opts out (A/B knob).
+        # copy — ~171us/frame at bs8 vs ~17 at bs1 (traced).  Instead:
+        #   * the multi-output u8 stem kernel (host-CHUNKED input) emits
+        #     per-image arrays directly — no batch slicing of the stem
+        #     output (XLA materialized the slices as a full copy);
+        #   * the trunk runs per image in a STATIC unrolled loop (the
+        #     batch-1 custom-kernel layout regime; lax.scan instead makes
+        #     XLA give the carried stem output an exotic layout — A/B 1627
+        #     vs 1704 FPS);
+        #   * detect decode + planar NMS run per image off the per-image
+        #     feature dicts (their trunk inputs then never concat);
+        #   * the seg head runs BATCHED on the stacked (lazy) neck feats —
+        #     XLA's batch conv emitters win there — and one batched mask
+        #     kernel finishes.  bs8: 1585 -> 1793 FPS (bs1 1727).
+        # MULTIYOLOV5_BATCH_SCAN=0 opts out (A/B knob).
         batch_scan = (u8_stem and planar_nms and fuse_mask
                       and _os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
 
-        # first head row: the hybrid scan runs rows [2, head_stop) per image
-        # (batch-1 severed regime, where XLA's batch-1 custom-kernel layouts
-        # win) and the head rows + NMS + mask kernel BATCHED (where XLA's
-        # batch emitters win — round-5 bs8 A/B)
         head_stop = min(i for i in (spec.seg_index, spec.detect_index)
                         if i is not None and i >= 0) \
             if (spec.seg_index is not None or spec.detect_index is not None) \
             else None
+        # det-per-image needs the head rows to be [seg, detect] reading
+        # only explicit cache refs; other configs use the batched-heads
+        # fallback below (still exact)
+        _det_row = (spec.rows[spec.detect_index]
+                    if spec.detect_index is not None
+                    and spec.detect_index >= 0 else None)
+        det_per_image = (
+            spec.seg_index is not None and spec.seg_index >= 0
+            and _det_row is not None
+            and spec.detect_index == spec.seg_index + 1
+            and isinstance(_det_row.f, (list, tuple))
+            and all(j != -1 for j in _det_row.f)
+            and all(j != -1 for j in spec.rows[spec.seg_index].f)
+            and _os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0")
 
         def run(p, img_u8):
             z = None
-            if batch_scan and img_u8.shape[0] > 1:
-                from .ops.pallas.stem_kernel import stem_apply_pallas_u8
-                y1 = stem_apply_pallas_u8(img_u8, *stem_fw,
-                                          cols=in_hw[1] // 4, out_dtype=cdt)
-
-                head_need = sorted({
-                    j for r in spec.rows[head_stop:]
-                    for j in (r.f if isinstance(r.f, (list, tuple))
-                              else [r.f]) if j != -1 and j < head_stop})
-                # STATIC unrolled per-image loop — not lax.scan: a while
-                # loop makes XLA assign the carried y1 an exotic layout and
-                # pay full relayout copies on it and inside the body
-                # (bs8 A/B: scan 1627 vs unrolled 1704 FPS); static slices
-                # y1[i:i+1] fuse into the first consumers for free
+            if batch_scan and img_u8.ndim == 5:
+                from .ops.pallas.stem_kernel import stem_apply_pallas_u8_multi
+                bsz = img_u8.shape[1]
+                y1s = stem_apply_pallas_u8_multi(img_u8, *stem_fw,
+                                                 cols=in_hw[1] // 4,
+                                                 out_dtype=cdt)
                 per_img = []
-                for i in range(img_u8.shape[0]):
+                for i in range(bsz):
                     feats_i, y_i, _ = forward(
-                        spec, p, state, y1[i:i + 1], train=False,
+                        spec, p, state, y1s[i], train=False,
                         fused=True, decode=dec_mode, start_layer=2,
                         seg_up=False, stop_before=head_stop)
                     per_img.append((feats_i, y_i))
-                feats = {j: jnp.concatenate([f[j] for f, _ in per_img], 0)
-                         for j in head_need}
-                y_s = jnp.concatenate([y for _, y in per_img], 0)
-                det, seg, _ = forward(
-                    spec, p, state, y_s, train=False, fused=True,
-                    decode=dec_mode, start_layer=head_stop, seg_up=False,
-                    feats_in=feats)
-                boxes, valid = nms_planar(det[0], conf_thres=conf,
-                                          iou_thres=iou, agnostic=agnostic,
-                                          class_mask=cmask,
-                                          max_nms=1024, max_det=max_det)
+                if det_per_image:
+                    bv = []
+                    for feats_i, y_i in per_img:
+                        det_i, _, _ = forward(
+                            spec, p, state, y_i, train=False, fused=True,
+                            decode=dec_mode, seg_up=False,
+                            start_layer=spec.detect_index, feats_in=feats_i)
+                        bv.append(nms_planar(
+                            det_i[0], conf_thres=conf, iou_thres=iou,
+                            agnostic=agnostic, class_mask=cmask,
+                            max_nms=1024, max_det=max_det))
+                    boxes = jnp.concatenate([b for b, _ in bv], 0)
+                    valid = jnp.concatenate([v for _, v in bv], 0)
+                    seg_need = {j for j in spec.rows[spec.seg_index].f
+                                if j != -1}
+                    feats = stack_feats([{j: f[j] for j in seg_need}
+                                         for f, _ in per_img])
+                    # the seg row reads only explicit cache refs — x is just
+                    # batch-size/dtype context, so no y concat at all
+                    y_s = jnp.zeros((bsz, 1, 1, 1), per_img[0][1].dtype)
+                    _, seg, _ = forward(
+                        spec, p, state, y_s, train=False, fused=True,
+                        decode=False, start_layer=spec.seg_index,
+                        seg_up=False, feats_in=feats,
+                        stop_before=spec.detect_index)
+                else:
+                    feats = stack_feats([f for f, _ in per_img])
+                    y_s = jnp.concatenate([y for _, y in per_img], 0)
+                    det, seg, _ = forward(
+                        spec, p, state, y_s, train=False, fused=True,
+                        decode=dec_mode, start_layer=head_stop,
+                        seg_up=False, feats_in=feats)
+                    boxes, valid = nms_planar(det[0], conf_thres=conf,
+                                              iou_thres=iou,
+                                              agnostic=agnostic,
+                                              class_mask=cmask,
+                                              max_nms=1024, max_det=max_det)
             elif u8_stem:
                 # img_u8 is the host-packed uint8 x96 (pack_stem96_host):
                 # the Pallas kernel converts + normalizes on-core (scale
@@ -340,7 +376,7 @@ class Engine:
             # yield far fewer candidates, and <=1024 rides the on-core
             # Pallas fixpoint kernel (ops/pallas/nms_fixpoint_kernel.py);
             # eval keeps the reference's 30000 cap (evaluation.py:115)
-            if batch_scan and img_u8.shape[0] > 1:
+            if batch_scan and img_u8.ndim == 5:
                 pass  # boxes/valid/seg already produced by the scan branch
             elif from_raw:
                 anchors = state[f"model.{spec.detect_index}.anchors"]
@@ -441,6 +477,24 @@ class Engine:
             return (1, h // 2, w // 2, 4 * ch)
         return (1, h, w, ch)
 
+    def _scan_rpb(self, in_hw, augment, multi_label, batch) -> int:
+        """Row-block size for the batch>1 per-image serving regime, or 0
+        when that regime doesn't apply (then the host packs the plain
+        batched layout).  Must mirror _compiled's batch_scan gate — the
+        jitted run() dispatches on the input rank."""
+        import os as _os
+        if (batch <= 1 or augment or multi_label
+                or not self._use_u8_stem(in_hw)
+                or _os.environ.get("MULTIYOLOV5_EXACT_MASK")
+                or _os.environ.get("MULTIYOLOV5_NMS_PLANAR") == "0"
+                or _os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "0"):
+            return 0
+        h = in_hw[0] // 4
+        for cand in (32, 16, 8):
+            if h % cand == 0:
+                return cand
+        return 0
+
     def _use_u8_stem(self, in_hw) -> bool:
         if not (self._stem_u8_ok and in_hw[0] % 4 == 0 and in_hw[1] % 4 == 0):
             return False
@@ -473,10 +527,18 @@ class Engine:
                     # one fused native pass per frame (s2d x2 + pad + row-
                     # pair pack); numpy chain fallback inside
                     from . import native
-                    from .ops.pallas.stem_kernel import stem_pack_geometry
+                    from .ops.pallas.stem_kernel import (chunk_stem96_host,
+                                                         stem_pack_geometry)
                     cp, _ = stem_pack_geometry(hw[0] // 4, hw[1] // 4)
                     img = np.stack([native.frame_to_stem96(
                         np.ascontiguousarray(im), cp) for im in img])
+                    rpb = self._scan_rpb(hw, augment, multi_label,
+                                         img.shape[0])
+                    if rpb:
+                        # batch>1 per-image regime: row-block-chunked input
+                        # for the multi-output stem kernel (run() dispatches
+                        # on the 5D rank)
+                        img = chunk_stem96_host(img, rpb)
                 else:
                     img = space_to_depth_host(space_to_depth_host(img))
             else:

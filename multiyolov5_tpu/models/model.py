@@ -213,6 +213,25 @@ def _apply_row(ctx: Ctx, row, x):
     raise NotImplementedError(m)
 
 
+def stack_feats(per_img: list) -> Dict[int, Any]:
+    """Batch per-image ``forward(stop_before=...)`` feature dicts.
+
+    Plain tensors are concatenated on the batch dim; LazyCat entries are
+    re-built from their batch-concatenated PARTS at native resolution, so
+    the virtual neck concat (and its upsamples) stays lazy across the
+    engine's per-image/batched-heads split and the heads' 1x1s keep the
+    linear-commute split (ops/nn.LazyCat)."""
+    out: Dict[int, Any] = {}
+    for j, v0 in per_img[0].items():
+        if isinstance(v0, LazyCat):
+            parts = [jnp.concatenate([f[j].parts[k] for f in per_img], 0)
+                     for k in range(len(v0.parts))]
+            out[j] = LazyCat(parts, v0.out_hw, v0.mode, v0.align_corners)
+        else:
+            out[j] = jnp.concatenate([f[j] for f in per_img], 0)
+    return out
+
+
 def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
             train: bool = False, fused: bool = False,
             rng: Optional[jax.Array] = None, decode: Optional[bool] = None,
@@ -303,12 +322,14 @@ def forward(spec: ModelSpec, params: Params, state: Params, x: jnp.ndarray,
     for row in spec.rows[start_layer:]:
         if stop_before is not None and row.i >= stop_before:
             # feature mode (engine hybrid batch-scan): return the cached
-            # trunk maps the remaining (head) rows will read, concretized
-            # (LazyCat can't cross a lax.scan boundary), plus the running y
+            # trunk maps the remaining (head) rows will read, plus the
+            # running y.  LazyCat entries stay LAZY — the caller's python
+            # loop stacks their parts at native resolution (stack_feats),
+            # so the wide neck concats never materialize per image
             need = sorted({j for r in spec.rows[row.i:]
                            for j in (r.f if isinstance(r.f, (list, tuple))
                                      else [r.f]) if j != -1 and j < row.i})
-            feats = {j: concrete(cache[j]) for j in need}
+            feats = {j: cache[j] for j in need if j in cache}
             return feats, concrete(y), ctx.new_state
         ctx.dot1x1 = sever and dot_from <= row.i < sever_to
         ctx.pallas3x3 = sever and p3_from <= row.i < sever_to

@@ -209,6 +209,152 @@ def stem_apply_pallas_u8(x96u8: jnp.ndarray, w1p: jnp.ndarray,
       jnp.asarray(b2p, jnp.float32))
 
 
+def pack_stem96_chunked_host(x48, pad_cols: int, rpb: int):
+    """Row-block-chunked variant of :func:`pack_stem96_host` for the
+    multi-output kernel: (nri, B, rpb+3, pad_cols, 2*c_in) uint8 where
+    chunk ri holds packed rows ri*rpb .. ri*rpb+rpb+2 (the rows one output
+    row block reads, conv2 halo included).  Halo rows are duplicated
+    host-side (~2/rpb extra bytes) so each grid step is one clean
+    contiguous DMA — no whole-image re-fetch with batch inner."""
+    return chunk_stem96_host(pack_stem96_host(x48, pad_cols), rpb)
+
+
+def chunk_stem96_host(x96, rpb: int):
+    """(B, H+3, cp, 2c) packed rows -> (nri, B, rpb+3, cp, 2c) chunks."""
+    import numpy as np
+    b, hp3, cp, c = x96.shape
+    h = hp3 - 3
+    assert h % rpb == 0, (h, rpb)
+    nri = h // rpb
+    out = np.empty((nri, b, rpb + 3, cp, c), x96.dtype)
+    for ri in range(nri):
+        out[ri] = x96[:, ri * rpb:ri * rpb + rpb + 3]
+    return out
+
+
+def _kernel_u8_multi(x_ref, w96_ref, w48_ref, b1_ref, w2_ref, b2_ref,
+                     *out_refs, cols, c_in, c_mid, c_out, bsz):
+    """Multi-output u8 stem: grid (nri, bsz) with batch INNER; out_refs are
+    ``bsz`` separate (1, H, cols, c_out) per-image arrays, each written only
+    at its own bi step (other steps leave its block buffer untouched, and
+    the block index ignores bi so nothing is flushed in between).  Feeding
+    the serving engine's per-image regime directly kills the 8-way stem
+    output slice XLA otherwise materializes (~11.5us/frame at bs8).
+
+    x_ref: (1, 1, rpb+3, cp, 2*c_in) host-chunked block
+    (pack_stem96_chunked_host) — rows for THIS (ri, bi) only."""
+    ri = pl.program_id(0)
+    bi = pl.program_id(1)
+    r_out = out_refs[0].shape[1]
+    r1 = r_out + 1
+    c1 = -(-(cols + 1) // 8) * 8
+    dt = out_refs[0].dtype
+    conv = x_ref[0, 0].astype(jnp.int32).astype(dt)   # (rpb+3, cp, 2c_in)
+
+    acc = None
+    for dx in range(3):
+        m96 = conv[0:r1, dx:dx + c1, :].reshape(r1 * c1, 2 * c_in)
+        part = jax.lax.dot_general(
+            m96, w96_ref[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m48 = conv[2:2 + r1, dx:dx + c1, 0:c_in].reshape(r1 * c1, c_in)
+        part = part + jax.lax.dot_general(
+            m48, w48_ref[dx], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    y1 = acc + b1_ref[:].astype(jnp.float32)
+    y1 = (y1 * jax.nn.sigmoid(y1)).astype(dt).reshape(r1, c1, c_mid)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (r1, c1, c_mid), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (r1, c1, c_mid), 1)
+    edge = (cols_i == 0) | ((rows_i == 0) & (ri == 0))
+    y1 = jnp.where(edge, jnp.zeros_like(y1), y1)
+
+    if w2_ref.ndim == 2:
+        m = y1.reshape(r1 * c1, c_mid)
+        part = jax.lax.dot_general(
+            m, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(r1, c1, 4 * c_out)
+        acc2 = (part[0:r_out, 0:cols, 0:c_out]
+                + part[0:r_out, 1:cols + 1, c_out:2 * c_out]
+                + part[1:r1, 0:cols, 2 * c_out:3 * c_out]
+                + part[1:r1, 1:cols + 1, 3 * c_out:4 * c_out])
+    else:
+        acc2 = None
+        for dy in range(2):
+            m = y1[dy:dy + r_out, 0:c1, :].reshape(r_out * c1, c_mid)
+            part = jax.lax.dot_general(
+                m, w2_ref[dy], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            part = part.reshape(r_out, c1, 2 * c_out)
+            q = (part[:, 0:cols, 0:c_out]
+                 + part[:, 1:cols + 1, c_out:2 * c_out])
+            acc2 = q if acc2 is None else acc2 + q
+    y2 = acc2 + b2_ref[:].astype(jnp.float32)
+    y2 = (y2 * jax.nn.sigmoid(y2)).astype(dt)
+    # each per-image block buffer persists across the inner bi steps and is
+    # flushed once when ri advances — content is whatever image b's step
+    # wrote, so every flush carries the right rows with no re-fetch
+    for b in range(bsz):
+        @pl.when(bi == b)
+        def _store(b=b):
+            out_refs[b][0] = y2
+
+
+@functools.partial(jax.jit, static_argnames=("cols", "out_dtype"))
+def stem_apply_pallas_u8_multi(x96c: jnp.ndarray, w1p: jnp.ndarray,
+                               b1p: jnp.ndarray, w2p: jnp.ndarray,
+                               b2p: jnp.ndarray, cols: int,
+                               out_dtype=jnp.bfloat16):
+    """Folded stem from the host-CHUNKED uint8 input
+    (pack_stem96_chunked_host); returns a TUPLE of per-image
+    (1, H, cols, c_out) arrays — the engine's batch>1 per-image serving
+    regime consumes them directly, with no stem-output batch slicing.
+    Same math as :func:`stem_apply_pallas_u8` (one f32 tap-regroup
+    rounding), asserted equal in tests/test_stem_kernel.py."""
+    nri, b, rpb3, cp, c2in = x96c.shape
+    rpb = rpb3 - 3
+    c_in = c2in // 2
+    h = nri * rpb
+    c_mid = w1p.shape[-1]
+    c_out = w2p.shape[-1]
+    dt = out_dtype
+    c1 = -(-(cols + 1) // 8) * 8
+    assert cp == c1 + 2, (cp, c1)
+    inv = jnp.float32(1.0 / 255.0)
+    w96 = jnp.stack([jnp.concatenate([w1p[0, dx], w1p[1, dx]], 0)
+                     for dx in range(3)]) * inv
+    w48 = jnp.stack([w1p[2, dx] for dx in range(3)]) * inv
+    w2n = jnp.stack([jnp.concatenate([w2p[dy, 0], w2p[dy, 1]], 1)
+                     for dy in range(2)])
+    if c_mid > 128:
+        w2n = jnp.concatenate([w2n[0], w2n[1]], 1)
+    kernel = functools.partial(_kernel_u8_multi, cols=cols, c_in=c_in,
+                               c_mid=c_mid, c_out=c_out, bsz=b)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nri, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, rpb3, cp, 2 * c_in),
+                         lambda ri, bi: (ri, bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((1, rpb, cols, c_out),
+                                lambda ri, bi: (0, ri, 0, 0),
+                                memory_space=pltpu.VMEM)] * b,
+        out_shape=[jax.ShapeDtypeStruct((1, h, cols, c_out), dt)] * b,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        interpret=jax.default_backend() != "tpu",
+    )(x96c, jnp.asarray(w96, dt), jnp.asarray(w48, dt),
+      jnp.asarray(b1p, jnp.float32), jnp.asarray(w2n, dt),
+      jnp.asarray(b2p, jnp.float32))
+    return tuple(outs)
+
+
 def _kernel(x96_ref, w96_ref, w48_ref, b1_ref, w2_ref, b2_ref, out_ref, *,
             cols, c_in, c_mid, c_out):
     """x96_ref: (1, H+3, cols+3, 2*c_in) padded input with lanes

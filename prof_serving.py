@@ -15,7 +15,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from multiyolov5_tpu.engine import Engine, space_to_depth_host
-from multiyolov5_tpu.models.model import forward
+from multiyolov5_tpu.models.model import forward, stack_feats
 from multiyolov5_tpu.ops import stem as stem_lib
 from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
 from multiyolov5_tpu.ops.pallas.upsample_argmax_kernel import upsample_argmax_planar
@@ -29,11 +29,15 @@ orig_hw = (1024, 2048)
 frame = np.random.randint(0, 255, (bs, *in_hw, 3), np.uint8)
 stem_fw = tuple(jnp.asarray(a) for a in stem_lib.fold_stem_from_params(params))
 from multiyolov5_tpu.ops.pallas.stem_kernel import (
-    pack_stem96_host, stem_apply_pallas_u8, stem_pack_geometry)
+    pack_stem96_chunked_host, pack_stem96_host, stem_apply_pallas_u8,
+    stem_apply_pallas_u8_multi, stem_pack_geometry)
 
 cp, _ = stem_pack_geometry(in_hw[0] // 4, in_hw[1] // 4)
-x0 = jnp.asarray(pack_stem96_host(
-    space_to_depth_host(space_to_depth_host(frame)), cp))
+x48 = space_to_depth_host(space_to_depth_host(frame))
+BATCH_SCAN_EARLY = (os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "1"
+                    and bs > 1)
+x0 = jnp.asarray(pack_stem96_chunked_host(x48, cp, 32) if BATCH_SCAN_EARLY
+                 else pack_stem96_host(x48, cp))
 
 
 PLANAR = os.environ.get("MULTIYOLOV5_NMS_PLANAR") != "0"
@@ -43,8 +47,8 @@ BATCH_SCAN = os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "1"
 
 
 def body(x, fw):
-    y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
     if BATCH_SCAN and bs > 1:
+        y1s = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)
         head_stop = min(i for i in (spec.seg_index, spec.detect_index)
                         if i is not None and i >= 0)
         head_need = sorted({
@@ -54,24 +58,34 @@ def body(x, fw):
 
         per_img = []
         for i in range(bs):
-            feats_i, y_i, _ = forward(spec, params, state, y1[i:i + 1],
+            feats_i, y_i, _ = forward(spec, params, state, y1s[i],
                                       train=False, fused=True,
                                       decode="planar", start_layer=2,
                                       seg_up=False, stop_before=head_stop)
             per_img.append((feats_i, y_i))
-        feats_s = tuple(jnp.concatenate([f[j] for f, _ in per_img], 0)
-                        for j in head_need)
-        y_s = jnp.concatenate([y for _, y in per_img], 0)
-        det, seg, _ = forward(spec, params, state, y_s, train=False,
-                              fused=True, decode="planar",
-                              start_layer=head_stop, seg_up=False,
-                              feats_in=dict(zip(head_need, feats_s)))
-        boxes, valid = nms_planar(det[0], conf_thres=0.25, iou_thres=0.45,
-                                  max_nms=1024)
+        bv = []
+        for feats_i, y_i in per_img:
+            det_i, _, _ = forward(spec, params, state, y_i, train=False,
+                                  fused=True, decode="planar",
+                                  start_layer=spec.detect_index,
+                                  seg_up=False, feats_in=feats_i)
+            bv.append(nms_planar(det_i[0], conf_thres=0.25, iou_thres=0.45,
+                                 max_nms=1024))
+        boxes = jnp.concatenate([b for b, _ in bv], 0)
+        valid = jnp.concatenate([v for _, v in bv], 0)
+        seg_need = {j for j in spec.rows[spec.seg_index].f if j != -1}
+        feats = stack_feats([{j: f[j] for j in seg_need}
+                             for f, _ in per_img])
+        y_s = jnp.zeros((bs, 1, 1, 1), per_img[0][1].dtype)
+        _, seg, _ = forward(spec, params, state, y_s, train=False,
+                            fused=True, decode=False,
+                            start_layer=spec.seg_index, seg_up=False,
+                            feats_in=feats, stop_before=spec.detect_index)
         out = boxes.sum() + valid.sum()
         cm = upsample_argmax_planar(seg, orig_hw,
                                     via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
         return out + cm[:, :8, :].astype(jnp.float32).sum()
+    y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
     det, seg, _ = forward(spec, params, state, y1, train=False, fused=True,
                           decode="planar" if PLANAR else True,
                           start_layer=2, seg_up=False)

@@ -76,3 +76,35 @@ def test_stem_kernel_u8_matches_xla(rng, b, h, w, c2, c2b):
         jnp.asarray(x96), *fw, cols=wq, out_dtype=jnp.float32))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_stem_u8_multi_matches_batched():
+    """Multi-output (per-image) u8 stem == batched u8 stem, elementwise
+    exact — same dots, only the grid order and store targets differ
+    (engine batch>1 regime, round 5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from multiyolov5_tpu.ops.pallas.stem_kernel import (
+        pack_stem96_chunked_host, pack_stem96_host, stem_apply_pallas_u8,
+        stem_apply_pallas_u8_multi, stem_pack_geometry)
+
+    rng = np.random.RandomState(3)
+    B, H, W, c_in = 3, 32, 64, 48
+    c_mid, c_out = 64, 32
+    x48 = rng.randint(0, 255, (B, H, W, c_in), np.uint8)
+    w1p = jnp.asarray(rng.randn(3, 3, c_in, c_mid).astype(np.float32) * .05)
+    b1p = jnp.asarray(rng.randn(c_mid).astype(np.float32) * .1)
+    w2p = jnp.asarray(rng.randn(2, 2, c_mid, c_out).astype(np.float32) * .05)
+    b2p = jnp.asarray(rng.randn(c_out).astype(np.float32) * .1)
+
+    cp, _ = stem_pack_geometry(H, W)
+    xb = jnp.asarray(pack_stem96_host(x48, cp))
+    xc = jnp.asarray(pack_stem96_chunked_host(x48, cp, 16))
+    yb = stem_apply_pallas_u8(xb, w1p, b1p, w2p, b2p, cols=W,
+                              out_dtype=jnp.float32)
+    ym = stem_apply_pallas_u8_multi(xc, w1p, b1p, w2p, b2p, cols=W,
+                                    out_dtype=jnp.float32)
+    assert len(ym) == B and ym[0].shape == (1, H, W, c_out)
+    for i in range(B):
+        np.testing.assert_array_equal(np.asarray(yb[i:i + 1]),
+                                      np.asarray(ym[i]))
