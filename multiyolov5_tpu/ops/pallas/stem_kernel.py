@@ -162,8 +162,12 @@ def stem_apply_pallas_u8(x96u8: jnp.ndarray, w1p: jnp.ndarray,
     # wide stems).  f32 out is the test path: f32 temporaries double the
     # stack, so keep blocks small there.
     import os as _os
+    # wide stems (c_mid > 128, i.e. m and up) run best at rpb 16 on v5e:
+    # the conv1 f32 accumulator scales with c_mid and at rpb 32 the block
+    # working set spills past the pipelining sweet spot (m bs1 A/B:
+    # 846 -> 862 FPS e2e at rpb 16; s regresses 1715 -> 1703 there)
     rpb_max = 8 if dt == jnp.float32 else int(
-        _os.environ.get("MULTIYOLOV5_STEM_RPB", 32))
+        _os.environ.get("MULTIYOLOV5_STEM_RPB", 32 if c_mid <= 128 else 16))
     rpb = h
     for cand in (128, 64, 32, 16, 8):
         if cand <= rpb_max and h % cand == 0:
