@@ -97,12 +97,19 @@ def _conv_haloed(xh: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("d", "act", "rows_per_block"))
 def conv3x3_silu_pallas(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
                         d: int = 1, act: bool = True,
-                        rows_per_block: int = 32) -> jnp.ndarray:
+                        rows_per_block: int = 0) -> jnp.ndarray:
     """x: (B, H, W, c_in); w: (3, 3, c_in, c_out) HWIO fused weight;
     b: (c_out,) fused bias.  Stride 1, padding d (torch autopad for a
-    dilated 3x3).  Returns (B, H, W, c_out)."""
+    dilated 3x3).  Returns (B, H, W, c_out).
+
+    rows_per_block 0 picks per width: the wide-K convs (c_in >= 256, the
+    FFM entry 3x3s) run best at 16-row blocks on v5e (standalone A/B:
+    s 256->128 37.0 -> 34.8 us, m 384->192 90.4 -> 81.0); narrower convs
+    keep 32 (16 is a small loss at 96-192ch)."""
     bsz, h, w_, c_in = x.shape
     assert c_in % 8 == 0, c_in
+    if not rows_per_block:
+        rows_per_block = 16 if c_in >= 256 else 32
     xp = jnp.pad(x, ((0, 0), (d, d), (d, d), (0, 0)))
     return _conv_haloed(xp, w, b, h, w_, d, act, rows_per_block)
 
