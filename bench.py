@@ -193,7 +193,6 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
             y1s = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)
             head_stop = min(i for i in (spec.seg_index, spec.detect_index)
                             if i is not None and i >= 0)
-            cut = int(os.environ.get("MULTIYOLOV5_SCAN_CUT", head_stop))
 
             per_img = []
             for i in range(bs):
@@ -201,7 +200,7 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
                                           train=False, fused=True,
                                           decode=dec_mode, start_layer=2,
                                           seg_up=False,
-                                          stop_before=cut)
+                                          stop_before=head_stop)
                 per_img.append((feats_i, y_i))
             if os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0":
                 bv = []
@@ -215,11 +214,8 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
                                          iou_thres=0.45, max_nms=1024))
                 boxes = jnp.concatenate([b for b, _ in bv], 0)
                 valid = jnp.concatenate([v for _, v in bv], 0)
-                seg_need = {j for jj in (spec.rows[spec.seg_index].f
-                                         if isinstance(spec.rows[spec.seg_index].f,
-                                                       (list, tuple))
-                                         else [spec.rows[spec.seg_index].f])
-                            for j in [jj] if j != -1}
+                seg_need = {j for j in spec.rows[spec.seg_index].f
+                            if j != -1}
                 feats = stack_feats([{j: f[j] for j in seg_need}
                                      for f, _ in per_img])
                 # the seg row reads ONLY explicit cache refs — x is just
@@ -235,7 +231,7 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
                 y_s = jnp.concatenate([y for _, y in per_img], 0)
                 det, seg, _ = forward(spec, params, state, y_s, train=False,
                                       fused=True, decode=dec_mode,
-                                      start_layer=cut, seg_up=False,
+                                      start_layer=head_stop, seg_up=False,
                                       feats_in=feats)
                 boxes, valid = nms_planar(det[0], conf_thres=0.25,
                                           iou_thres=0.45, max_nms=1024)

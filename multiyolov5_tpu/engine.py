@@ -250,13 +250,12 @@ class Engine:
         #     XLA's batch conv emitters win there — and one batched mask
         #     kernel finishes.  bs8: 1585 -> 1793 FPS (bs1 1727).
         # MULTIYOLOV5_BATCH_SCAN=0 opts out (A/B knob).
+        _heads = [i for i in (spec.seg_index, spec.detect_index)
+                  if i is not None and i >= 0]
+        head_stop = min(_heads) if _heads else None
         batch_scan = (u8_stem and planar_nms and fuse_mask
+                      and head_stop is not None
                       and _os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
-
-        head_stop = min(i for i in (spec.seg_index, spec.detect_index)
-                        if i is not None and i >= 0) \
-            if (spec.seg_index is not None or spec.detect_index is not None) \
-            else None
         # det-per-image needs the head rows to be [seg, detect] reading
         # only explicit cache refs; other configs use the batched-heads
         # fallback below (still exact)
@@ -483,7 +482,9 @@ class Engine:
         batched layout).  Must mirror _compiled's batch_scan gate — the
         jitted run() dispatches on the input rank."""
         import os as _os
-        if (batch <= 1 or augment or multi_label
+        has_head = any(i is not None and i >= 0
+                       for i in (self.spec.seg_index, self.spec.detect_index))
+        if (batch <= 1 or augment or multi_label or not has_head
                 or not self._use_u8_stem(in_hw)
                 or _os.environ.get("MULTIYOLOV5_EXACT_MASK")
                 or _os.environ.get("MULTIYOLOV5_NMS_PLANAR") == "0"
