@@ -131,7 +131,8 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
     import jax.lax as lax
     import jax.numpy as jnp
 
-    from multiyolov5_tpu.engine import Engine, space_to_depth_host
+    from multiyolov5_tpu.engine import (Engine, run_batched_pipeline,
+                                        space_to_depth_host)
     from multiyolov5_tpu.models.model import forward, stack_feats
     from multiyolov5_tpu.ops import stem as stem_lib
     from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
@@ -187,54 +188,11 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
 
     def body(x, fw):
         if batch_scan:
-            # multi-output stem: per-image arrays straight from the kernel —
-            # no batch slicing of the stem output (XLA materialized the 8
-            # slices as a full copy, ~11.5us/frame)
+            # multi-output stem -> shared batch>1 pipeline (engine.run's
+            # exact body; see engine.run_batched_pipeline)
             y1s = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)
-            head_stop = min(i for i in (spec.seg_index, spec.detect_index)
-                            if i is not None and i >= 0)
-
-            per_img = []
-            for i in range(bs):
-                feats_i, y_i, _ = forward(spec, params, state, y1s[i],
-                                          train=False, fused=True,
-                                          decode=dec_mode, start_layer=2,
-                                          seg_up=False,
-                                          stop_before=head_stop)
-                per_img.append((feats_i, y_i))
-            if os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0":
-                bv = []
-                for feats_i, y_i in per_img:
-                    det_i, _, _ = forward(spec, params, state, y_i,
-                                          train=False, fused=True,
-                                          decode=dec_mode,
-                                          start_layer=spec.detect_index,
-                                          seg_up=False, feats_in=feats_i)
-                    bv.append(nms_planar(det_i[0], conf_thres=0.25,
-                                         iou_thres=0.45, max_nms=1024))
-                boxes = jnp.concatenate([b for b, _ in bv], 0)
-                valid = jnp.concatenate([v for _, v in bv], 0)
-                seg_need = {j for j in spec.rows[spec.seg_index].f
-                            if j != -1}
-                feats = stack_feats([{j: f[j] for j in seg_need}
-                                     for f, _ in per_img])
-                # the seg row reads ONLY explicit cache refs — x is just
-                # batch-size/dtype context, so skip the y concat entirely
-                y_s = jnp.zeros((bs, 1, 1, 1), per_img[0][1].dtype)
-                _, seg, _ = forward(spec, params, state, y_s, train=False,
-                                    fused=True, decode=False,
-                                    start_layer=spec.seg_index, seg_up=False,
-                                    feats_in=feats,
-                                    stop_before=spec.detect_index)
-            else:
-                feats = stack_feats([f for f, _ in per_img])
-                y_s = jnp.concatenate([y for _, y in per_img], 0)
-                det, seg, _ = forward(spec, params, state, y_s, train=False,
-                                      fused=True, decode=dec_mode,
-                                      start_layer=head_stop, seg_up=False,
-                                      feats_in=feats)
-                boxes, valid = nms_planar(det[0], conf_thres=0.25,
-                                          iou_thres=0.45, max_nms=1024)
+            boxes, valid, seg = run_batched_pipeline(spec, params, state,
+                                                     y1s)
             out = boxes.sum() + valid.sum()
             cm = upsample_argmax_planar(
                 seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))

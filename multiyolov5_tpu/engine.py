@@ -46,6 +46,88 @@ def space_to_depth_host(img: np.ndarray) -> np.ndarray:
         img[:, ::2, 1::2], img[:, 1::2, 1::2]], axis=-1)
 
 
+def supports_det_per_image(spec) -> bool:
+    """True when the head rows are [seg, detect] reading only explicit
+    cache refs — the structure the per-image detect split of
+    :func:`run_batched_pipeline` needs."""
+    if not (spec.seg_index is not None and spec.seg_index >= 0
+            and spec.detect_index is not None and spec.detect_index >= 0
+            and spec.detect_index == spec.seg_index + 1):
+        return False
+    det_f = spec.rows[spec.detect_index].f
+    seg_f = spec.rows[spec.seg_index].f
+    return (isinstance(det_f, (list, tuple))
+            and all(j != -1 for j in det_f)
+            and isinstance(seg_f, (list, tuple))
+            and all(j != -1 for j in seg_f))
+
+
+def run_batched_pipeline(spec, params, state, y1s, *, decode_mode="planar",
+                         conf=0.25, iou=0.45, agnostic=False, cmask=None,
+                         max_det=300, det_per_image=None):
+    """Batch>1 serving body shared by Engine, bench.py, and prof_serving.
+
+    ``y1s``: per-image stem outputs (the multi-output u8 stem kernel's
+    tuple).  Runs the trunk per image in a STATIC unrolled loop (the
+    batch-1 custom-kernel layout regime — at batch>1 a single batched
+    graph pays ~171us/frame of relayout copies at every Pallas boundary,
+    and a lax.scan gives the carried stem output an exotic layout), then
+    detect decode + planar NMS per image off the per-image feature dicts
+    and the seg head BATCHED on lazily-stacked neck feats (where XLA's
+    batch conv emitters win).  Returns (boxes, valid, seg_planar);
+    bit-identical to the straight batched pipeline
+    (tests/test_batch_scan_tpu.py).  bs8: 1585 -> 1795 FPS vs bs1 ~1715.
+    """
+    heads = [i for i in (spec.seg_index, spec.detect_index)
+             if i is not None and i >= 0]
+    head_stop = min(heads)
+    if det_per_image is None:
+        import os as _os
+        det_per_image = (supports_det_per_image(spec) and
+                         _os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0")
+    per_img = []
+    for y1_i in y1s:
+        feats_i, y_i, _ = forward(spec, params, state, y1_i, train=False,
+                                  fused=True, decode=decode_mode,
+                                  start_layer=2, seg_up=False,
+                                  stop_before=head_stop)
+        per_img.append((feats_i, y_i))
+    if det_per_image:
+        bv = []
+        for feats_i, y_i in per_img:
+            det_i, _, _ = forward(spec, params, state, y_i, train=False,
+                                  fused=True, decode=decode_mode,
+                                  seg_up=False,
+                                  start_layer=spec.detect_index,
+                                  feats_in=feats_i)
+            bv.append(nms_planar(det_i[0], conf_thres=conf, iou_thres=iou,
+                                 agnostic=agnostic, class_mask=cmask,
+                                 max_nms=1024, max_det=max_det))
+        boxes = jnp.concatenate([b for b, _ in bv], 0)
+        valid = jnp.concatenate([v for _, v in bv], 0)
+        seg_need = {j for j in spec.rows[spec.seg_index].f if j != -1}
+        feats = stack_feats([{j: f[j] for j in seg_need}
+                             for f, _ in per_img])
+        # the seg row reads only explicit cache refs — x is just
+        # batch-size/dtype context, so no y concat at all
+        y_s = jnp.zeros((len(per_img), 1, 1, 1), per_img[0][1].dtype)
+        _, seg, _ = forward(spec, params, state, y_s, train=False,
+                            fused=True, decode=False,
+                            start_layer=spec.seg_index, seg_up=False,
+                            feats_in=feats, stop_before=spec.detect_index)
+    else:
+        feats = stack_feats([f for f, _ in per_img])
+        y_s = jnp.concatenate([y for _, y in per_img], 0)
+        det, seg, _ = forward(spec, params, state, y_s, train=False,
+                              fused=True, decode=decode_mode,
+                              start_layer=head_stop, seg_up=False,
+                              feats_in=feats)
+        boxes, valid = nms_planar(det[0], conf_thres=conf, iou_thres=iou,
+                                  agnostic=agnostic, class_mask=cmask,
+                                  max_nms=1024, max_det=max_det)
+    return boxes, valid, seg
+
+
 def scale_img_pad(x: jnp.ndarray, ratio: float, gs: int = 32) -> jnp.ndarray:
     """TTA helper (reference utils/torch_utils.py:248-258): bilinear
     (align_corners=False, like F.interpolate default) scale + 0.447 pad."""
@@ -256,73 +338,20 @@ class Engine:
         batch_scan = (u8_stem and planar_nms and fuse_mask
                       and head_stop is not None
                       and _os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
-        # det-per-image needs the head rows to be [seg, detect] reading
-        # only explicit cache refs; other configs use the batched-heads
-        # fallback below (still exact)
-        _det_row = (spec.rows[spec.detect_index]
-                    if spec.detect_index is not None
-                    and spec.detect_index >= 0 else None)
-        det_per_image = (
-            spec.seg_index is not None and spec.seg_index >= 0
-            and _det_row is not None
-            and spec.detect_index == spec.seg_index + 1
-            and isinstance(_det_row.f, (list, tuple))
-            and all(j != -1 for j in _det_row.f)
-            and all(j != -1 for j in spec.rows[spec.seg_index].f)
-            and _os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0")
+        det_per_image = (supports_det_per_image(spec) and
+                         _os.environ.get("MULTIYOLOV5_DET_PER_IMAGE") != "0")
 
         def run(p, img_u8):
             z = None
             if batch_scan and img_u8.ndim == 5:
                 from .ops.pallas.stem_kernel import stem_apply_pallas_u8_multi
-                bsz = img_u8.shape[1]
                 y1s = stem_apply_pallas_u8_multi(img_u8, *stem_fw,
                                                  cols=in_hw[1] // 4,
                                                  out_dtype=cdt)
-                per_img = []
-                for i in range(bsz):
-                    feats_i, y_i, _ = forward(
-                        spec, p, state, y1s[i], train=False,
-                        fused=True, decode=dec_mode, start_layer=2,
-                        seg_up=False, stop_before=head_stop)
-                    per_img.append((feats_i, y_i))
-                if det_per_image:
-                    bv = []
-                    for feats_i, y_i in per_img:
-                        det_i, _, _ = forward(
-                            spec, p, state, y_i, train=False, fused=True,
-                            decode=dec_mode, seg_up=False,
-                            start_layer=spec.detect_index, feats_in=feats_i)
-                        bv.append(nms_planar(
-                            det_i[0], conf_thres=conf, iou_thres=iou,
-                            agnostic=agnostic, class_mask=cmask,
-                            max_nms=1024, max_det=max_det))
-                    boxes = jnp.concatenate([b for b, _ in bv], 0)
-                    valid = jnp.concatenate([v for _, v in bv], 0)
-                    seg_need = {j for j in spec.rows[spec.seg_index].f
-                                if j != -1}
-                    feats = stack_feats([{j: f[j] for j in seg_need}
-                                         for f, _ in per_img])
-                    # the seg row reads only explicit cache refs — x is just
-                    # batch-size/dtype context, so no y concat at all
-                    y_s = jnp.zeros((bsz, 1, 1, 1), per_img[0][1].dtype)
-                    _, seg, _ = forward(
-                        spec, p, state, y_s, train=False, fused=True,
-                        decode=False, start_layer=spec.seg_index,
-                        seg_up=False, feats_in=feats,
-                        stop_before=spec.detect_index)
-                else:
-                    feats = stack_feats([f for f, _ in per_img])
-                    y_s = jnp.concatenate([y for _, y in per_img], 0)
-                    det, seg, _ = forward(
-                        spec, p, state, y_s, train=False, fused=True,
-                        decode=dec_mode, start_layer=head_stop,
-                        seg_up=False, feats_in=feats)
-                    boxes, valid = nms_planar(det[0], conf_thres=conf,
-                                              iou_thres=iou,
-                                              agnostic=agnostic,
-                                              class_mask=cmask,
-                                              max_nms=1024, max_det=max_det)
+                boxes, valid, seg = run_batched_pipeline(
+                    spec, p, state, y1s, decode_mode=dec_mode, conf=conf,
+                    iou=iou, agnostic=agnostic, cmask=cmask,
+                    max_det=max_det, det_per_image=det_per_image)
             elif u8_stem:
                 # img_u8 is the host-packed uint8 x96 (pack_stem96_host):
                 # the Pallas kernel converts + normalizes on-core (scale

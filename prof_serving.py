@@ -14,7 +14,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from multiyolov5_tpu.engine import Engine, space_to_depth_host
+from multiyolov5_tpu.engine import (Engine, run_batched_pipeline,
+                                    space_to_depth_host)
 from multiyolov5_tpu.models.model import forward, stack_feats
 from multiyolov5_tpu.ops import stem as stem_lib
 from multiyolov5_tpu.ops.nms import nms_batched, nms_planar
@@ -49,38 +50,7 @@ BATCH_SCAN = os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "1"
 def body(x, fw):
     if BATCH_SCAN and bs > 1:
         y1s = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)
-        head_stop = min(i for i in (spec.seg_index, spec.detect_index)
-                        if i is not None and i >= 0)
-        head_need = sorted({
-            j for r in spec.rows[head_stop:]
-            for r_f in [r.f if isinstance(r.f, (list, tuple)) else [r.f]]
-            for j in r_f if j != -1 and j < head_stop})
-
-        per_img = []
-        for i in range(bs):
-            feats_i, y_i, _ = forward(spec, params, state, y1s[i],
-                                      train=False, fused=True,
-                                      decode="planar", start_layer=2,
-                                      seg_up=False, stop_before=head_stop)
-            per_img.append((feats_i, y_i))
-        bv = []
-        for feats_i, y_i in per_img:
-            det_i, _, _ = forward(spec, params, state, y_i, train=False,
-                                  fused=True, decode="planar",
-                                  start_layer=spec.detect_index,
-                                  seg_up=False, feats_in=feats_i)
-            bv.append(nms_planar(det_i[0], conf_thres=0.25, iou_thres=0.45,
-                                 max_nms=1024))
-        boxes = jnp.concatenate([b for b, _ in bv], 0)
-        valid = jnp.concatenate([v for _, v in bv], 0)
-        seg_need = {j for j in spec.rows[spec.seg_index].f if j != -1}
-        feats = stack_feats([{j: f[j] for j in seg_need}
-                             for f, _ in per_img])
-        y_s = jnp.zeros((bs, 1, 1, 1), per_img[0][1].dtype)
-        _, seg, _ = forward(spec, params, state, y_s, train=False,
-                            fused=True, decode=False,
-                            start_layer=spec.seg_index, seg_up=False,
-                            feats_in=feats, stop_before=spec.detect_index)
+        boxes, valid, seg = run_batched_pipeline(spec, params, state, y1s)
         out = boxes.sum() + valid.sum()
         cm = upsample_argmax_planar(seg, orig_hw,
                                     via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
