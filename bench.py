@@ -179,15 +179,16 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
     # batch-as-scan serving (same gate as Engine._compiled): multi-output
     # stem kernel, unrolled batch-1 trunk per image, batched seg head +
     # batched mask kernel, per-image detect+NMS — no batch-layout relayouts
-    batch_scan = (bs > 1 and use_pallas_stem and planar and not seg_up
+    batch_scan = (use_pallas_stem and planar and not seg_up
                   and os.environ.get("MULTIYOLOV5_BATCH_SCAN") != "0")
     if batch_scan:
         from multiyolov5_tpu.ops.pallas.stem_kernel import (
             pack_stem96_chunked_host, stem_apply_pallas_u8_multi)
-        x0 = jnp.asarray(pack_stem96_chunked_host(x48, cp, 32))
+        x0 = jnp.asarray(pack_stem96_chunked_host(
+            x48, cp, 16 if stem_fw[0].shape[-1] > 128 else 32))
 
     def body(x, fw):
-        if batch_scan:
+        if batch_scan and bs > 1:
             # multi-output stem -> shared batch>1 pipeline (engine.run's
             # exact body; see engine.run_batched_pipeline)
             y1s = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)
@@ -198,7 +199,10 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
                 seg, orig_hw, via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
             return out + cm[:, :8, :].astype(jnp.float32).sum()
         if fold:
-            if use_pallas_stem:  # same gate as Engine's fused pipeline
+            if batch_scan:  # chunked input: DMA pipelines under compute
+                y1 = stem_apply_pallas_u8_multi(x, *fw,
+                                                cols=in_hw[1] // 4)[0]
+            elif use_pallas_stem:  # same gate as Engine's fused pipeline
                 y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
             else:
                 y1 = stem_lib.stem_apply(x.astype(jnp.bfloat16) / 255.0, *fw)

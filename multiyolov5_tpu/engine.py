@@ -343,15 +343,26 @@ class Engine:
 
         def run(p, img_u8):
             z = None
+            scan_done = False
             if batch_scan and img_u8.ndim == 5:
                 from .ops.pallas.stem_kernel import stem_apply_pallas_u8_multi
                 y1s = stem_apply_pallas_u8_multi(img_u8, *stem_fw,
                                                  cols=in_hw[1] // 4,
                                                  out_dtype=cdt)
-                boxes, valid, seg = run_batched_pipeline(
-                    spec, p, state, y1s, decode_mode=dec_mode, conf=conf,
-                    iou=iou, agnostic=agnostic, cmask=cmask,
-                    max_det=max_det, det_per_image=det_per_image)
+                if img_u8.shape[1] > 1:
+                    boxes, valid, seg = run_batched_pipeline(
+                        spec, p, state, y1s, decode_mode=dec_mode, conf=conf,
+                        iou=iou, agnostic=agnostic, cmask=cmask,
+                        max_det=max_det, det_per_image=det_per_image)
+                    scan_done = True
+                else:
+                    # batch 1 rides the chunked-input stem too (the input
+                    # DMA pipelines under the row-block compute: 79.3 ->
+                    # 73.5 us standalone) and then the normal bs1 path
+                    det, seg, _ = forward(spec, p, state, y1s[0],
+                                          train=False, fused=True,
+                                          decode=dec_mode, start_layer=2,
+                                          seg_up=not fuse_mask)
             elif u8_stem:
                 # img_u8 is the host-packed uint8 x96 (pack_stem96_host):
                 # the Pallas kernel converts + normalizes on-core (scale
@@ -404,8 +415,8 @@ class Engine:
             # yield far fewer candidates, and <=1024 rides the on-core
             # Pallas fixpoint kernel (ops/pallas/nms_fixpoint_kernel.py);
             # eval keeps the reference's 30000 cap (evaluation.py:115)
-            if batch_scan and img_u8.ndim == 5:
-                pass  # boxes/valid/seg already produced by the scan branch
+            if scan_done:
+                pass  # boxes/valid/seg already produced by the batch branch
             elif from_raw:
                 anchors = state[f"model.{spec.detect_index}.anchors"]
                 boxes, valid = nms_from_raw(
@@ -506,21 +517,25 @@ class Engine:
         return (1, h, w, ch)
 
     def _scan_rpb(self, in_hw, augment, multi_label, batch) -> int:
-        """Row-block size for the batch>1 per-image serving regime, or 0
-        when that regime doesn't apply (then the host packs the plain
-        batched layout).  Must mirror _compiled's batch_scan gate — the
-        jitted run() dispatches on the input rank."""
+        """Row-block size for the chunked-input stem packing, or 0 when
+        it doesn't apply (then the host packs the plain batched layout).
+        Batch>1 uses it for the per-image serving regime; batch 1 for the
+        input-DMA-pipelined stem.  Must mirror _compiled's batch_scan
+        gate — the jitted run() dispatches on the input rank."""
         import os as _os
         has_head = any(i is not None and i >= 0
                        for i in (self.spec.seg_index, self.spec.detect_index))
-        if (batch <= 1 or augment or multi_label or not has_head
+        if (augment or multi_label or not has_head
                 or not self._use_u8_stem(in_hw)
                 or _os.environ.get("MULTIYOLOV5_EXACT_MASK")
                 or _os.environ.get("MULTIYOLOV5_NMS_PLANAR") == "0"
                 or _os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "0"):
             return 0
         h = in_hw[0] // 4
-        for cand in (32, 16, 8):
+        # wide stems (c_mid > 128, m+) run best at 16-row blocks (same
+        # rule as the batched kernel; m bs1 A/B: 877 -> 884 FPS)
+        c_mid = self._stem_weights()[0].shape[-1]
+        for cand in ((16, 8) if c_mid > 128 else (32, 16, 8)):
             if h % cand == 0:
                 return cand
         return 0

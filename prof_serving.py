@@ -35,9 +35,9 @@ from multiyolov5_tpu.ops.pallas.stem_kernel import (
 
 cp, _ = stem_pack_geometry(in_hw[0] // 4, in_hw[1] // 4)
 x48 = space_to_depth_host(space_to_depth_host(frame))
-BATCH_SCAN_EARLY = (os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "1"
-                    and bs > 1)
-x0 = jnp.asarray(pack_stem96_chunked_host(x48, cp, 32) if BATCH_SCAN_EARLY
+BATCH_SCAN_EARLY = os.environ.get("MULTIYOLOV5_BATCH_SCAN") == "1"
+x0 = jnp.asarray(pack_stem96_chunked_host(
+    x48, cp, 16 if stem_fw[0].shape[-1] > 128 else 32) if BATCH_SCAN_EARLY
                  else pack_stem96_host(x48, cp))
 
 
@@ -55,7 +55,10 @@ def body(x, fw):
         cm = upsample_argmax_planar(seg, orig_hw,
                                     via_hw=(seg.shape[2] * 8, seg.shape[3] * 8))
         return out + cm[:, :8, :].astype(jnp.float32).sum()
-    y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
+    if BATCH_SCAN:
+        y1 = stem_apply_pallas_u8_multi(x, *fw, cols=in_hw[1] // 4)[0]
+    else:
+        y1 = stem_apply_pallas_u8(x, *fw, cols=in_hw[1] // 4)
     det, seg, _ = forward(spec, params, state, y1, train=False, fused=True,
                           decode="planar" if PLANAR else True,
                           start_layer=2, seg_up=False)

@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="real TPU only")
 
 
-@pytest.mark.parametrize("bs", [2, 8])
+@pytest.mark.parametrize("bs", [1, 2, 8])
 def test_batch_scan_matches_straight(bs):
     from multiyolov5_tpu.engine import Engine
 
@@ -37,6 +37,7 @@ def test_batch_scan_matches_straight(bs):
         os.environ.pop("MULTIYOLOV5_BATCH_SCAN", None)
 
     assert any(np.asarray(d).size for d in det0), "degenerate: no boxes"
+    # bs1 exercises the chunked-stem + normal-path branch
     for a, b in zip(det0, det1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(mask0), np.asarray(mask1))
