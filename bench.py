@@ -185,7 +185,8 @@ def bench_serving(cfg="yolov5s_city_seg", bs=1, iters=200, reps=3,
         from multiyolov5_tpu.ops.pallas.stem_kernel import (
             pack_stem96_chunked_host, stem_apply_pallas_u8_multi)
         x0 = jnp.asarray(pack_stem96_chunked_host(
-            x48, cp, 16 if stem_fw[0].shape[-1] > 128 else 32))
+            x48, cp, int(os.environ.get("BENCH_STEM_CHUNK",
+                         16 if stem_fw[0].shape[-1] > 128 else 32))))
 
     def body(x, fw):
         if batch_scan and bs > 1:
